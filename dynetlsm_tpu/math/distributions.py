@@ -1,0 +1,102 @@
+"""Jittable primitive distributions used by the Gibbs blocks.
+
+Replaces reference dynetlsm/distributions.py (scipy.stats based, host-only)
+with counter-based ``jax.random`` samplers usable inside jitted sweeps.
+"""
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, ndtr, ndtri
+
+from ..config import SMALL_EPS
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet
+# ---------------------------------------------------------------------------
+
+def sample_dirichlet(key, alphas):
+    """Dirichlet sample via normalised Gammas with clipping.
+
+    The reference clips non-positive concentrations before sampling
+    (distributions.py:87-94) and re-normalises zero draws
+    (metropolis.py:63-67); we additionally clip the resulting sample away
+    from exact zeros, which float32 gamma sampling can produce.
+    Batched over leading axes of ``alphas``.
+    """
+    alphas = jnp.clip(alphas, SMALL_EPS, None)
+    g = jax.random.gamma(key, alphas)
+    g = jnp.clip(g, SMALL_EPS, None)
+    return g / jnp.sum(g, axis=-1, keepdims=True)
+
+
+def dirichlet_logpdf(x, alphas):
+    """Log density of Dirichlet(alphas) at x with the reference's clipping
+    (distributions.py:97-102)."""
+    alphas = jnp.clip(alphas, SMALL_EPS, None)
+    x = jnp.clip(x, SMALL_EPS, None)
+    return (jnp.sum((alphas - 1.0) * jnp.log(x), axis=-1)
+            + gammaln(jnp.sum(alphas, axis=-1))
+            - jnp.sum(gammaln(alphas), axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Truncated normal on (lower, upper)
+# ---------------------------------------------------------------------------
+
+def truncated_normal(key, mean, var, lower=0.0, upper=1.0):
+    """Sample N(mean, var) truncated to (lower, upper) via inverse CDF.
+
+    (reference distributions.py:72-77 uses scipy.truncnorm)
+    """
+    std = jnp.sqrt(var)
+    a = (lower - mean) / std
+    b = (upper - mean) / std
+    ua, ub = ndtr(a), ndtr(b)
+    u = jax.random.uniform(key, jnp.shape(mean),
+                           minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+    # clip away from 0/1 so ndtri stays finite in float32
+    p = jnp.clip(ua + u * (ub - ua), 1e-6, 1.0 - 1e-6)
+    return mean + std * ndtri(p)
+
+
+def truncated_normal_logpdf(x, mean, var, lower=0.0, upper=1.0):
+    """(reference distributions.py:80-84)"""
+    std = jnp.sqrt(var)
+    a = (lower - mean) / std
+    b = (upper - mean) / std
+    z = (x - mean) / std
+    log_phi = -0.5 * (z * z) - 0.5 * jnp.log(2.0 * jnp.pi) - jnp.log(std)
+    log_mass = jnp.log(jnp.clip(ndtr(b) - ndtr(a), SMALL_EPS, None))
+    inside = (x > lower) & (x < upper)
+    return jnp.where(inside, log_phi - log_mass, -jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# Categorical / misc
+# ---------------------------------------------------------------------------
+
+def sample_categorical_logits(key, logits, axis=-1):
+    """Gumbel-argmax categorical sampler, batched over leading axes."""
+    g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
+    return jnp.argmax(logits + g, axis=axis)
+
+
+def sample_inv_gamma(key, shape, rate):
+    """Sample 1 / Gamma(shape, rate) i.e. InvGamma(shape, scale=rate).
+
+    The reference draws ``1 / rng.gamma(shape=a, scale=1/b)``
+    (e.g. hdp_lpcm.py:937).  Batched over leading axes.
+    """
+    g = jax.random.gamma(key, shape)
+    return rate / jnp.clip(g, SMALL_EPS, None)
+
+
+def sample_gamma(key, shape, rate):
+    """Gamma(shape, rate) sample (mean shape / rate)."""
+    return jax.random.gamma(key, shape) / rate
+
+
+def sample_beta(key, a, b):
+    ga = jax.random.gamma(key, a)
+    gb = jax.random.gamma(jax.random.fold_in(key, 1), b)
+    return ga / jnp.clip(ga + gb, SMALL_EPS, None)

@@ -1,0 +1,33 @@
+"""Procrustes alignment of latent spaces (jittable).
+
+Replaces reference dynetlsm/procrustes.py (scipy ``orthogonal_procrustes``)
+with ``jnp.linalg.svd`` on the tiny (d, d) cross-covariance so it can run
+inside the jitted sweep (the reference applies it every post-burn iteration,
+lsm.py:495-498).
+"""
+import jax.numpy as jnp
+
+
+def procrustes_rotation(X_ref, X):
+    """Orthogonal R minimising ||X R - X_ref||_F (reference procrustes.py:20-25).
+
+    Parameters are 2-D (m, d) matrices.
+    """
+    u, _, vt = jnp.linalg.svd(X.T @ X_ref, full_matrices=False)
+    return u @ vt
+
+
+def static_procrustes_rotation(X_ref, X):
+    R = procrustes_rotation(X_ref, X)
+    return X @ R, R
+
+
+def longitudinal_procrustes_rotation(X_ref, X):
+    """One rotation shared by all time steps, fitted on the time-flattened
+    matrices (reference procrustes.py:28-35).
+
+    X_ref, X : (T, n, d)
+    """
+    T, n, d = X.shape
+    R = procrustes_rotation(X_ref.reshape(T * n, d), X.reshape(T * n, d))
+    return X @ R, R

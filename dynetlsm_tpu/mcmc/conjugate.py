@@ -1,0 +1,104 @@
+"""Conjugate Gibbs blocks for the mixture parameters (mu, sigma, lambda)
+and their hyper-priors.
+
+The reference loops components and time steps with boolean masks
+(hdp_lpcm.py:901-972, lpcm.py:581-653); here every posterior sufficient
+statistic is a masked einsum over the (T, n, K) responsibility tensor —
+batched matmuls on the MXU, no data-dependent shapes.
+"""
+import jax
+import jax.numpy as jnp
+
+from ..config import SMALL_EPS
+from ..math.distributions import sample_inv_gamma, sample_gamma, truncated_normal
+
+
+def sample_cluster_means(key, X, resp, nk, sigma, lmbda, mean_variance_prior):
+    """Gaussian conjugate update of the component means
+    (reference hdp_lpcm.py:901-920).
+
+    X : (T, n, d); resp : (T, n, K); nk : (T, K); sigma : (K,)
+    Returns mu : (K, d).
+    """
+    T, n, d = X.shape
+    K = sigma.shape[0]
+    X_prev = jnp.concatenate([jnp.zeros_like(X[:1]), X[:-1]], axis=0)
+
+    # precision: 1/tau^2 + nk0/sigma_k + (lam^2/sigma_k) * sum_{t>0} nk
+    nk_rest = jnp.sum(nk[1:], axis=0) if T > 1 else jnp.zeros(K)
+    pk = (1.0 / mean_variance_prior
+          + nk[0] / sigma
+          + (lmbda ** 2 / sigma) * nk_rest)
+
+    # mean statistic
+    m0 = jnp.einsum('ik,id->kd', resp[0], X[0]) / sigma[:, None]
+    diff_rest = X[1:] - (1.0 - lmbda) * X_prev[1:]
+    m_rest = jnp.einsum('tik,tid->kd', resp[1:], diff_rest)
+    mk = m0 + (lmbda / sigma[:, None]) * m_rest
+
+    var = 1.0 / pk
+    mean = var[:, None] * mk
+    noise = jax.random.normal(key, (K, d), X.dtype)
+    return mean + jnp.sqrt(var)[:, None] * noise
+
+
+def sample_cluster_variances(key, X, resp, nk, mu, lmbda, a, b):
+    """Inverse-gamma conjugate update of the spherical component variances
+    (reference hdp_lpcm.py:923-937).
+
+    Returns sigma : (K,).
+    """
+    T, n, d = X.shape
+    K = mu.shape[0]
+    X_prev = jnp.concatenate([jnp.zeros_like(X[:1]), X[:-1]], axis=0)
+
+    ak = 0.5 * (jnp.sum(nk, axis=0) * d + a)
+
+    # residuals: t=0: X - mu_k ; t>0: X - (1-lam) X_prev - lam mu_k
+    d0 = X[0][:, None, :] - mu[None, :, :]                       # (n, K, d)
+    ss0 = jnp.einsum('ik,ikd->k', resp[0], d0 * d0)
+    if T > 1:
+        base = X[1:] - (1.0 - lmbda) * X_prev[1:]                # (T-1, n, d)
+        dt = base[:, :, None, :] - lmbda * mu[None, None, :, :]  # (T-1,n,K,d)
+        ss_rest = jnp.einsum('tik,tikd->k', resp[1:], dt * dt)
+    else:
+        ss_rest = jnp.zeros(K)
+    bk = 0.5 * b + 0.5 * (ss0 + ss_rest)
+    return sample_inv_gamma(key, ak, bk)
+
+
+def sample_lambda(key, X, z, mu, sigma, lambda_prior, lambda_variance_prior):
+    """Truncated-normal conjugate update of the blending coefficient
+    (reference hdp_lpcm.py:939-954)."""
+    T = X.shape[0]
+    if T == 1:
+        # no transitions: sample from the (truncated) prior
+        return truncated_normal(key, jnp.asarray(lambda_prior, X.dtype),
+                                jnp.asarray(lambda_variance_prior, X.dtype))
+    mu_z = mu[z[1:]]                                # (T-1, n, d)
+    sig_z = sigma[z[1:]][..., None]                 # (T-1, n, 1)
+    ml_diff = (mu_z - X[:-1]) / sig_z
+    X_diff = X[1:] - X[:-1]
+    ml = jnp.sum(ml_diff * X_diff)
+    sl = 1.0 / lambda_variance_prior + jnp.sum((mu_z - X[:-1]) ** 2 / sig_z)
+    sl = 1.0 / sl
+    ml = sl * (ml + lambda_prior / lambda_variance_prior)
+    return truncated_normal(key, ml, sl)
+
+
+def sample_mean_variance_hyper(key, mu, a0, b0):
+    """Inverse-gamma update of tau^2, the prior variance of the cluster means
+    (reference hdp_lpcm.py:957-964)."""
+    K = mu.shape[0]
+    b = 0.5 * b0 + 0.5 * jnp.sum(mu * mu)
+    a = 0.5 * (a0 + K)
+    return sample_inv_gamma(key, a, b)
+
+
+def sample_sigma_scale_hyper(key, sigma, a, c0, d0):
+    """Gamma update of b, the scale of the InvGamma prior on the cluster
+    variances (reference hdp_lpcm.py:967-972)."""
+    K = sigma.shape[0]
+    scale = 0.5 * d0 + 0.5 * jnp.sum(1.0 / jnp.clip(sigma, SMALL_EPS, None))
+    shape = 0.5 * (c0 + K * a)
+    return sample_gamma(key, shape, scale)

@@ -1,0 +1,84 @@
+"""Chain drivers: scan over sweeps, vmap over chains, shard over the mesh.
+
+Replaces the reference's Python ``for it in tqdm(range(...))`` fit loops
+(lsm.py:474, hdp_lpcm.py:823) with a jitted ``lax.scan`` whose outputs are
+the posterior traces.  Chains are embarrassingly parallel: the chain axis is
+vmapped and sharded across TPU devices over a 1-D ``chains`` mesh — no
+collectives are needed in the sweep body (SURVEY.md §5.8).
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def chain_mesh(devices=None):
+    """1-D mesh over all (or the given) devices with axis name ``chains``."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, ('chains',))
+
+
+def shard_state(state, mesh):
+    """Place a chain-batched state pytree on the mesh, sharding the leading
+    (chains) axis of every leaf."""
+    if mesh is None:
+        return state
+    sharding = NamedSharding(mesh, P('chains'))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def replicate_state(state0, n_chains, key):
+    """Broadcast a single-chain state pytree across a new leading chain axis
+    and give each chain its own PRNG key."""
+    keys = jax.random.split(key, n_chains)
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + jnp.shape(x)), state0)
+    return state._replace(key=keys)
+
+
+def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
+                     donate=True):
+    """Compile a runner executing ``chunk`` traced iterations.
+
+    ``trace_fn(state) -> pytree`` selects what is recorded each (thinned)
+    iteration.  With ``thin > 1`` the body advances ``thin`` sweeps per
+    recorded sample (device-side thinning — the reference thins traces on the
+    host after the fact, hdp_lpcm.py:1072-1083).
+    """
+    step = jax.vmap(sweep_fn) if multi_chain else sweep_fn
+
+    def advance(state):
+        if thin == 1:
+            return step(state)
+        return jax.lax.fori_loop(0, thin, lambda _, s: step(s), state)
+
+    def run(state, n_samples):
+        def body(state, _):
+            state = advance(state)
+            return state, trace_fn(state)
+        return jax.lax.scan(body, state, None, length=n_samples)
+
+    return jax.jit(run, static_argnums=(1,),
+                   donate_argnums=(0,) if donate else ())
+
+
+def collect_traces(runner, state, n_samples, chunk=512, progress=None):
+    """Run ``n_samples`` recorded iterations in device chunks, off-loading
+    each chunk's traces to host memory (replaces the reference's fully
+    preallocated host trace arrays, hdp_lpcm.py:88-131).
+
+    Returns (final_state, traces) where traces is a pytree of NumPy arrays
+    with the sample axis leading.
+    """
+    chunks = []
+    remaining = n_samples
+    while remaining > 0:
+        step_n = min(chunk, remaining)
+        state, ys = runner(state, step_n)
+        chunks.append(jax.tree.map(np.asarray, ys))
+        remaining -= step_n
+        if progress is not None:
+            progress(n_samples - remaining, n_samples)
+    traces = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
+    return state, traces

@@ -1,0 +1,160 @@
+"""Latent-position Metropolis updates (the hot loop).
+
+The reference updates each (t, node) sequentially through Python closures
+calling Cython per-row likelihood kernels
+(sample_latent_positions.py:92-206).  The TPU-native scheme keeps the exact
+single-site Markov kernel but restructures the scan for vector hardware:
+
+* sequential ``lax.fori_loop`` over nodes (the within-time dependency graph
+  is complete, so nodes cannot be updated independently without changing
+  the kernel);
+* within a node, time steps are updated in two parity phases (even t, then
+  odd t).  Given the temporal-chain prior, same-parity times are
+  conditionally independent, so each phase is a fully vectorised blocked
+  Gibbs update over T/2 times — and over all vmapped chains.
+
+Per sweep every (t, j) site receives exactly one MH proposal, as in the
+reference; only the scan *order* differs (nodes-outer instead of
+times-outer), which leaves the stationary distribution unchanged.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _partial_loglik_terms(Y_row, Y_col, X_t, x, radii, r_node,
+                          intercept, is_directed):
+    """Per-partner Bernoulli log-lik terms for one node at position ``x``.
+
+    Shapes: Y_row/Y_col (T, n); X_t (T, n, d); x (T, d); radii (n,) or None.
+    Returns (T, n) terms (self slot NOT yet masked).
+    """
+    diff = X_t - x[:, None, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    if is_directed:
+        # eta for j -> i (node is the sender): b_in (1-d/r_i) + b_out (1-d/r_j)
+        eta_out = (intercept[0] * (1.0 - dist / radii[None, :])
+                   + intercept[1] * (1.0 - dist / r_node))
+        eta_in = (intercept[0] * (1.0 - dist / r_node)
+                  + intercept[1] * (1.0 - dist / radii[None, :]))
+        ll = Y_row * eta_out - jax.nn.softplus(eta_out)
+        ll += Y_col * eta_in - jax.nn.softplus(eta_in)
+        return ll
+    eta = intercept[0] - dist
+    return Y_row * eta - jax.nn.softplus(eta)
+
+
+def _rw_prior_per_t(xs, x_cur, tau_sq, sigma_sq):
+    """Gaussian random-walk prior terms of each time's conditional, evaluated
+    at candidate positions ``xs`` with temporal neighbours fixed at ``x_cur``
+    (reference sample_latent_positions.py:131-141).
+
+    xs, x_cur : (T, d).  Returns (T,) log-prior contributions.
+    """
+    T, d = xs.shape
+    t_idx = jnp.arange(T)
+    prev = jnp.concatenate([jnp.zeros((1, d), xs.dtype), x_cur[:-1]], axis=0)
+    nxt = jnp.concatenate([x_cur[1:], jnp.zeros((1, d), xs.dtype)], axis=0)
+
+    back0 = -0.5 * jnp.sum(xs * xs, axis=-1) / tau_sq
+    backt = -0.5 * jnp.sum((xs - prev) ** 2, axis=-1) / sigma_sq
+    back = jnp.where(t_idx == 0, back0, backt)
+
+    fwd = -0.5 * jnp.sum((nxt - xs) ** 2, axis=-1) / sigma_sq
+    fwd = jnp.where(t_idx == T - 1, 0.0, fwd)
+    return back + fwd
+
+
+def _mixture_prior_per_t(xs, x_cur, mu_z, sigma_z, lmbda):
+    """AR(1)-to-cluster-mean prior terms per time, neighbours fixed
+    (reference sample_latent_positions.py:187-199).
+
+    mu_z : (T, d) cluster mean of the node's label at each time.
+    sigma_z : (T,) cluster variance at each time.
+    """
+    T, d = xs.shape
+    t_idx = jnp.arange(T)
+    prev = jnp.concatenate([jnp.zeros((1, d), xs.dtype), x_cur[:-1]], axis=0)
+    nxt = jnp.concatenate([x_cur[1:], jnp.zeros((1, d), xs.dtype)], axis=0)
+    mu_nxt = jnp.concatenate([mu_z[1:], jnp.zeros((1, d), xs.dtype)], axis=0)
+    sig_nxt = jnp.concatenate([sigma_z[1:], jnp.ones((1,), xs.dtype)], axis=0)
+
+    diff0 = xs - mu_z
+    difft = xs - (1.0 - lmbda) * prev - lmbda * mu_z
+    diff = jnp.where((t_idx == 0)[:, None], diff0, difft)
+    back = -0.5 * jnp.sum(diff * diff, axis=-1) / sigma_z
+
+    fdiff = nxt - (1.0 - lmbda) * xs - lmbda * mu_nxt
+    fwd = -0.5 * jnp.sum(fdiff * fdiff, axis=-1) / sig_nxt
+    fwd = jnp.where(t_idx == T - 1, 0.0, fwd)
+    return back + fwd
+
+
+@partial(jax.jit, static_argnames=('is_directed', 'mixture'))
+def sample_latent_positions(key, Y, X, intercept, step_size, *,
+                            radii=None, tau_sq=None, sigma_sq=None,
+                            mu=None, sigma=None, lmbda=None, z=None,
+                            is_directed=False, mixture=False):
+    """One full sweep of single-site MH updates over all (t, node) sites.
+
+    Parameters
+    ----------
+    key : PRNG key
+    Y : (T, n, n) adjacency tensor (float)
+    X : (T, n, d) current latent positions
+    intercept : (1,) or (2,) intercepts
+    step_size : (T, n) per-site random-walk step sizes
+    radii : (n,) social radii (directed only)
+    tau_sq, sigma_sq : LSM random-walk prior scales (mixture=False)
+    mu (K, d), sigma (K,), lmbda (), z (T, n) : mixture prior (mixture=True)
+
+    Returns
+    -------
+    X_new : (T, n, d)
+    n_accepted : (T, n) float acceptance indicators for this sweep
+    """
+    T, n, d = X.shape
+    k_eps, k_u = jax.random.split(key)
+    eps = jax.random.normal(k_eps, (2, n, T, d), X.dtype)
+    log_u = jnp.log(jax.random.uniform(k_u, (2, n, T), X.dtype))
+    t_idx = jnp.arange(T)
+    partner = jnp.arange(n)
+
+    def node_update(j, carry):
+        X, acc = carry
+        for phase in (0, 1):
+            x_cur = X[:, j, :]                               # (T, d)
+            x_prop = x_cur + step_size[:, j, None] * eps[phase, j]
+            Y_row = Y[:, j, :]
+            Y_col = Y[:, :, j]
+            r_node = radii[j] if is_directed else None
+
+            ll_prop = _partial_loglik_terms(
+                Y_row, Y_col, X, x_prop, radii, r_node, intercept, is_directed)
+            ll_cur = _partial_loglik_terms(
+                Y_row, Y_col, X, x_cur, radii, r_node, intercept, is_directed)
+            mask = (partner != j).astype(X.dtype)[None, :]
+            delta_ll = jnp.sum((ll_prop - ll_cur) * mask, axis=-1)   # (T,)
+
+            if mixture:
+                z_j = z[:, j]
+                mu_z = mu[z_j]
+                sigma_z = sigma[z_j]
+                lp = _mixture_prior_per_t(x_prop, x_cur, mu_z, sigma_z, lmbda)
+                lc = _mixture_prior_per_t(x_cur, x_cur, mu_z, sigma_z, lmbda)
+            else:
+                lp = _rw_prior_per_t(x_prop, x_cur, tau_sq, sigma_sq)
+                lc = _rw_prior_per_t(x_cur, x_cur, tau_sq, sigma_sq)
+
+            ratio = delta_ll + lp - lc
+            in_phase = (t_idx % 2) == phase
+            accept = jnp.logical_and(log_u[phase, j] < ratio, in_phase)
+            x_new = jnp.where(accept[:, None], x_prop, x_cur)
+            X = X.at[:, j, :].set(x_new)
+            acc = acc.at[:, j].add(accept.astype(X.dtype))
+        return X, acc
+
+    X, acc = jax.lax.fori_loop(0, n, node_update,
+                               (X, jnp.zeros((T, n), X.dtype)))
+    return X, acc

@@ -1,0 +1,528 @@
+"""Full Gibbs sweeps as pure jittable ``state -> state`` functions.
+
+Each ``make_*_sweep`` factory closes over the observed network and static
+hyperparameters and returns a sweep implementing the reference fit-loop body:
+
+* LSM       — reference lsm.py:474-572
+* LPCM      — reference lpcm.py:514-701
+* HDP-LPCM  — reference hdp_lpcm.py:823-1069
+
+The returned function is scanned over iterations (``lax.scan``), vmapped
+over chains, and sharded over the device mesh by the model layer.
+"""
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SMALL_EPS
+from ..math.distributions import (
+    sample_dirichlet, dirichlet_logpdf, truncated_normal_logpdf)
+from ..math.procrustes import longitudinal_procrustes_rotation
+from ..ops.distances import pairwise_distances
+from ..ops.likelihoods import (
+    undirected_loglik_full, directed_loglik_full,
+    directed_network_probas)
+from .metropolis import maybe_tune
+from .latent import sample_latent_positions
+from .coefficients import (
+    sample_intercept_undirected, sample_intercepts_directed, sample_radii)
+from .labels import sample_labels_block, sample_labels_block_lpcm
+from .hdp import (
+    sample_tables, sample_mbar, sample_concentration_param,
+    sample_alpha_kappa_rho)
+from .conjugate import (
+    sample_cluster_means, sample_cluster_variances, sample_lambda,
+    sample_mean_variance_hyper, sample_sigma_scale_hyper)
+from .states import LSMState, MixtureState
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    """Static (trace-time constant) sweep configuration."""
+    is_directed: bool = False
+    sample_missing: bool = False
+    tune: int = 0                 # sweeps of step-size adaptation
+    tune_interval: int = 100
+    n_burn: int = 0               # tune + burn
+    # LSM priors
+    tau_sq: float = 2.0
+    sigma_sq: float = 0.1
+    intercept_variance_prior: float = 2.0
+    # mixture priors
+    n_components: int = 10
+    a: float = 2.0
+    lambda_prior: float = 0.9
+    lambda_variance_prior: float = 0.01
+    # hyper-prior shapes (None disables resampling, mirroring the reference's
+    # mean_variance_prior_std / sigma_prior_std=None switches)
+    a0: Optional[float] = None
+    b0: Optional[float] = None
+    c0: Optional[float] = None
+    d0: Optional[float] = None
+    # HDP concentration hyper-priors
+    gamma_prior_shape: float = 1.0
+    gamma_prior_rate: float = 0.1
+    alpha_init_shape: float = 1.0
+    alpha_init_rate: float = 1.0
+    alpha_kappa_shape: float = 5.0
+    alpha_kappa_rate: float = 0.1
+    # LPCM Dirichlet prior concentration
+    dirichlet_prior: float = 1.0
+    # whether the radii MH step size is tuned (LSM: no, ref lsm.py:470-472;
+    # LPCM/HDP: yes, ref hdp_lpcm.py:744-747)
+    tune_radii: bool = False
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+def _network_loglik(cfg, Y, dist, intercept, radii):
+    if cfg.is_directed:
+        return directed_loglik_full(Y, dist, radii, intercept[0], intercept[1])
+    return undirected_loglik_full(Y, dist, intercept[0])
+
+
+def _resample_missing(cfg, key, Y, dist, intercept, radii, miss_mask):
+    """Gibbs-resample missing dyads from their Bernoulli conditionals
+    (reference lsm.py:526-545, hdp_lpcm.py:1026-1049)."""
+    n = Y.shape[-1]
+    if cfg.is_directed:
+        probas = directed_network_probas(dist, radii, intercept[0], intercept[1])
+        draw = (jax.random.uniform(key, Y.shape) < probas).astype(Y.dtype)
+        return jnp.where(miss_mask, draw, Y)
+    probas = jax.nn.sigmoid(intercept[0] - dist)
+    u = jax.random.uniform(key, Y.shape)
+    draw = (u < probas).astype(Y.dtype)
+    triu = jnp.triu(jnp.ones((n, n), Y.dtype), k=1)
+    draw = draw * triu
+    draw = draw + jnp.swapaxes(draw, -1, -2)
+    return jnp.where(miss_mask, draw, Y)
+
+
+def _lsm_logp(cfg, Y, X, intercept, radii, dist, intercept_prior):
+    """Reference lsm.py:576-625."""
+    loglik = _network_loglik(cfg, Y, dist, intercept, radii)
+    loglik -= 0.5 * jnp.sum(X[0] * X[0]) / cfg.tau_sq
+    if X.shape[0] > 1:
+        diff = X[1:] - X[:-1]
+        loglik -= 0.5 * jnp.sum(diff * diff) / cfg.sigma_sq
+    diff = intercept - intercept_prior
+    loglik -= jnp.sum(0.5 * diff * diff / cfg.intercept_variance_prior)
+    return loglik
+
+
+def _latent_mixture_loglik(X, z, mu, sigma, lmbda):
+    """Latent-position log density under the mixture dynamics
+    (reference hdp_lpcm.py:1247-1253)."""
+    sig_z = sigma[z]                             # (T, n)
+    mu_z = mu[z]                                 # (T, n, d)
+    diff0 = X[0] - mu_z[0]
+    ll = jnp.sum(-0.5 * jnp.log(sig_z[0])
+                 - 0.5 * jnp.sum(diff0 * diff0, axis=-1) / sig_z[0])
+    if X.shape[0] > 1:
+        difft = X[1:] - (1.0 - lmbda) * X[:-1] - lmbda * mu_z[1:]
+        ll += jnp.sum(-0.5 * jnp.log(sig_z[1:])
+                      - 0.5 * jnp.sum(difft * difft, axis=-1) / sig_z[1:])
+    return ll
+
+
+def _gather_chain_loglik(z, w0, w_trans):
+    """sum_i log w0[z_0i] + sum_{t>0,i} log w[t, z_{t-1,i}, z_ti]
+    (reference hdp_lpcm.py:1207-1211).  w_trans: (T, K, K)."""
+    ll = jnp.sum(jnp.log(jnp.clip(w0[z[0]], SMALL_EPS, None)))
+    if z.shape[0] > 1:
+        trans = w_trans[1:]                          # (T-1, K, K)
+        tidx = jnp.arange(z.shape[0] - 1)[:, None]
+        picked = trans[tidx, z[:-1], z[1:]]          # (T-1, n)
+        ll += jnp.sum(jnp.log(jnp.clip(picked, SMALL_EPS, None)))
+    return ll
+
+
+# ---------------------------------------------------------------------------
+# LSM sweep
+# ---------------------------------------------------------------------------
+
+def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
+    """Build the LSM sweep.  ``Y_fixed`` is the imputed network (used when no
+    missing dyads are resampled); ``miss_mask`` the boolean missing-dyad
+    tensor or None."""
+    intercept_prior = jnp.asarray(intercept_prior)
+
+    def sweep(state: LSMState) -> LSMState:
+        it_next = state.it + 1
+        Y = state.Y if cfg.sample_missing else Y_fixed
+        keys = jax.random.split(state.key, 6)
+
+        # 1. latent positions
+        X, acc_new = sample_latent_positions(
+            keys[0], Y, state.X, state.intercept, state.step_X,
+            radii=state.radii, tau_sq=cfg.tau_sq, sigma_sq=cfg.sigma_sq,
+            is_directed=cfg.is_directed, mixture=False)
+        acc_X = state.acc_X + acc_new
+
+        # 2. Procrustes toward the burn-phase MAP (reference lsm.py:495-498)
+        X_rot, _ = longitudinal_procrustes_rotation(state.X_ref, X)
+        X = jnp.where(it_next > cfg.n_burn, X_rot, X)
+
+        # 3. center across time (lsm.py:501)
+        X = X - jnp.mean(X, axis=(0, 1))
+
+        # 4. cached distances
+        dist = pairwise_distances(X)
+
+        # 5. intercept
+        if cfg.is_directed:
+            intercept, acc_i = sample_intercepts_directed(
+                keys[1], Y, dist, state.intercept, state.radii,
+                state.step_int, intercept_prior, cfg.intercept_variance_prior)
+        else:
+            intercept, acc_i = sample_intercept_undirected(
+                keys[1], Y, dist, state.intercept, state.step_int[0],
+                intercept_prior[0], cfg.intercept_variance_prior)
+        acc_int = state.acc_int + acc_i
+
+        # 6. radii (directed)
+        if cfg.is_directed:
+            radii, acc_r = sample_radii(keys[2], Y, dist, intercept,
+                                        state.radii, state.step_radii)
+            acc_radii = state.acc_radii + acc_r
+        else:
+            radii, acc_radii = None, None
+
+        # 7. missing dyads
+        missing_sum = state.missing_sum
+        if cfg.sample_missing:
+            Y = _resample_missing(cfg, keys[3], Y, dist, intercept, radii,
+                                  miss_mask)
+            missing_sum = missing_sum + jnp.where(
+                it_next > cfg.n_burn, jnp.where(miss_mask, Y, 0.0), 0.0)
+
+        # 8. log joint + MAP tracking (lsm.py:547-566)
+        logp = _lsm_logp(cfg, Y, X, intercept, radii, dist, intercept_prior)
+        reset = jnp.logical_and(cfg.tune > 0, it_next == cfg.n_burn)
+        better = jnp.logical_or(reset, logp > state.logp_map)
+        logp_map = jnp.where(better, logp, state.logp_map)
+        X_map = jnp.where(better, X, state.X_map)
+        intercept_map = jnp.where(better, intercept, state.intercept_map)
+        radii_map = (jnp.where(better, radii, state.radii_map)
+                     if cfg.is_directed else None)
+
+        # Procrustes reference: best sample over iterations <= n_burn
+        ref_better = jnp.logical_and(it_next <= cfg.n_burn,
+                                     logp > state.logp_ref)
+        logp_ref = jnp.where(ref_better, logp, state.logp_ref)
+        X_ref = jnp.where(ref_better, X, state.X_ref)
+
+        # step-size adaptation
+        step_X, acc_X = maybe_tune(state.it, cfg.tune, cfg.tune_interval,
+                                   state.step_X, acc_X)
+        step_int, acc_int = maybe_tune(state.it, cfg.tune, cfg.tune_interval,
+                                       state.step_int, acc_int)
+        if cfg.is_directed and cfg.tune_radii:
+            step_radii, acc_radii = maybe_tune(
+                state.it, cfg.tune, cfg.tune_interval,
+                state.step_radii, acc_radii, kind='dirichlet')
+        else:
+            step_radii = state.step_radii
+
+        return LSMState(
+            key=keys[5], it=it_next, X=X, intercept=intercept, radii=radii,
+            Y=Y if cfg.sample_missing else None,
+            step_X=step_X, acc_X=acc_X, step_int=step_int, acc_int=acc_int,
+            step_radii=step_radii, acc_radii=acc_radii,
+            logp=logp, logp_map=logp_map, X_map=X_map,
+            intercept_map=intercept_map, radii_map=radii_map,
+            logp_ref=logp_ref, X_ref=X_ref, missing_sum=missing_sum)
+
+    return sweep
+
+
+# ---------------------------------------------------------------------------
+# mixture logp terms shared by LPCM / HDP
+# ---------------------------------------------------------------------------
+
+def _mixture_common_logp(cfg, Y, X, intercept, radii, dist, z, mu, sigma,
+                         lmbda, mean_var, b_scale, intercept_prior):
+    """Network + latent + cluster-parameter + hyper-prior terms shared by the
+    LPCM and HDP-LPCM log joints (reference lpcm.py:789-855 /
+    hdp_lpcm.py:1213-1278)."""
+    n = Y.shape[-1]
+    ll = _network_loglik(cfg, Y, dist, intercept, radii)
+
+    diff = intercept - intercept_prior
+    ll -= jnp.sum(0.5 * diff * diff / cfg.intercept_variance_prior)
+
+    ll += _latent_mixture_loglik(X, z, mu, sigma, lmbda)
+
+    # cluster means prior
+    ll -= 0.5 * jnp.sum(mu * mu) / mean_var
+    # cluster variances prior terms evaluated at assigned components
+    sig_z = sigma[z]
+    ll += jnp.sum(-(0.5 * cfg.a + 1.0) * jnp.log(sig_z)
+                  - 0.5 * b_scale / sig_z)
+    # lambda truncated-normal prior
+    ll += truncated_normal_logpdf(lmbda, cfg.lambda_prior,
+                                  cfg.lambda_variance_prior)
+    # radii Dirichlet(1) prior normalising constant
+    if cfg.is_directed:
+        ll += dirichlet_logpdf(radii, jnp.ones(n))
+    # hyper-prior log densities
+    if cfg.a0 is not None:
+        ll += (-(0.5 * cfg.a0 + 1.0) * jnp.log(mean_var)
+               - 0.5 * cfg.b0 / mean_var)
+    if cfg.c0 is not None:
+        ll += (cfg.c0 - 1.0) * jnp.log(b_scale) - cfg.d0 * b_scale
+    return ll
+
+
+def _finish_tuning(cfg, state, acc_X, acc_int, acc_radii):
+    step_X, acc_X = maybe_tune(state.it, cfg.tune, cfg.tune_interval,
+                               state.step_X, acc_X)
+    step_int, acc_int = maybe_tune(state.it, cfg.tune, cfg.tune_interval,
+                                   state.step_int, acc_int)
+    if cfg.is_directed and cfg.tune_radii:
+        step_radii, acc_radii = maybe_tune(
+            state.it, cfg.tune, cfg.tune_interval,
+            state.step_radii, acc_radii, kind='dirichlet')
+    else:
+        step_radii = state.step_radii
+    return step_X, acc_X, step_int, acc_int, step_radii, acc_radii
+
+
+# ---------------------------------------------------------------------------
+# LPCM sweep
+# ---------------------------------------------------------------------------
+
+def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
+    """Finite-K LPCM sweep (reference lpcm.py:514-701)."""
+    intercept_prior = jnp.asarray(intercept_prior)
+    K = cfg.n_components
+
+    def sweep(state: MixtureState) -> MixtureState:
+        it_next = state.it + 1
+        Y = state.Y if cfg.sample_missing else Y_fixed
+        keys = jax.random.split(state.key, 13)
+
+        # latent positions (mixture prior)
+        X, acc_new = sample_latent_positions(
+            keys[0], Y, state.X, state.intercept, state.step_X,
+            radii=state.radii, mu=state.mu, sigma=state.sigma,
+            lmbda=state.lmbda, z=state.z,
+            is_directed=cfg.is_directed, mixture=True)
+        acc_X = state.acc_X + acc_new
+        X = X - jnp.mean(X, axis=(0, 1))
+        dist = pairwise_distances(X)
+
+        # intercept + radii
+        if cfg.is_directed:
+            intercept, acc_i = sample_intercepts_directed(
+                keys[1], Y, dist, state.intercept, state.radii,
+                state.step_int, intercept_prior, cfg.intercept_variance_prior)
+        else:
+            intercept, acc_i = sample_intercept_undirected(
+                keys[1], Y, dist, state.intercept, state.step_int[0],
+                intercept_prior[0], cfg.intercept_variance_prior)
+        acc_int = state.acc_int + acc_i
+        if cfg.is_directed:
+            radii, acc_r = sample_radii(keys[2], Y, dist, intercept,
+                                        state.radii, state.step_radii)
+            acc_radii = state.acc_radii + acc_r
+        else:
+            radii, acc_radii = None, None
+
+        # labels via blocked FFBS (lpcm.py:567-570)
+        z, n_trans, nk, resp = sample_labels_block_lpcm(
+            keys[3], X, state.mu, state.sigma, state.lmbda,
+            state.init_weights, state.trans_weights)
+
+        # weights (lpcm.py:572-579)
+        init_weights = sample_dirichlet(
+            keys[4], cfg.dirichlet_prior + nk[0])
+        trans_counts = jnp.sum(n_trans[1:], axis=0)      # (K, K)
+        trans_weights = sample_dirichlet(
+            keys[5], cfg.dirichlet_prior + trans_counts)
+
+        # conjugate blocks
+        mu = sample_cluster_means(keys[6], X, resp, nk, state.sigma,
+                                  state.lmbda, state.mean_var)
+        sigma = sample_cluster_variances(keys[7], X, resp, nk, mu,
+                                         state.lmbda, cfg.a, state.b_scale)
+        lmbda = sample_lambda(keys[8], X, z, mu, sigma,
+                              cfg.lambda_prior, cfg.lambda_variance_prior)
+
+        # hyper-priors
+        mean_var = state.mean_var
+        if cfg.a0 is not None:
+            mean_var = sample_mean_variance_hyper(keys[9], mu, cfg.a0, cfg.b0)
+        b_scale = state.b_scale
+        if cfg.c0 is not None:
+            b_scale = sample_sigma_scale_hyper(keys[10], sigma, cfg.a,
+                                               cfg.c0, cfg.d0)
+
+        # missing dyads
+        missing_sum = state.missing_sum
+        if cfg.sample_missing:
+            Y = _resample_missing(cfg, keys[11], Y, dist, intercept, radii,
+                                  miss_mask)
+            missing_sum = missing_sum + jnp.where(
+                it_next > cfg.n_burn, jnp.where(miss_mask, Y, 0.0), 0.0)
+
+        # log joint (lpcm.py:770-856)
+        logp = dirichlet_logpdf(init_weights,
+                                jnp.full((K,), cfg.dirichlet_prior))
+        logp += jnp.sum(dirichlet_logpdf(
+            trans_weights, jnp.full((K, K), cfg.dirichlet_prior)))
+        w_stack = jnp.broadcast_to(trans_weights, (X.shape[0], K, K))
+        logp += _gather_chain_loglik(z, init_weights, w_stack)
+        logp += _mixture_common_logp(
+            cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
+            mean_var, b_scale, intercept_prior)
+
+        step_X, acc_X, step_int, acc_int, step_radii, acc_radii = (
+            _finish_tuning(cfg, state, acc_X, acc_int, acc_radii))
+
+        return state._replace(
+            key=keys[-1], it=it_next, X=X, intercept=intercept, radii=radii,
+            Y=Y if cfg.sample_missing else None, z=z, mu=mu, sigma=sigma,
+            lmbda=lmbda, init_weights=init_weights,
+            trans_weights=trans_weights, mean_var=mean_var, b_scale=b_scale,
+            step_X=step_X, acc_X=acc_X, step_int=step_int, acc_int=acc_int,
+            step_radii=step_radii, acc_radii=acc_radii, logp=logp,
+            missing_sum=missing_sum)
+
+    return sweep
+
+
+# ---------------------------------------------------------------------------
+# HDP-LPCM sweep
+# ---------------------------------------------------------------------------
+
+def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
+    """Sticky HDP-LPCM sweep (reference hdp_lpcm.py:823-1069)."""
+    intercept_prior = jnp.asarray(intercept_prior)
+    K = cfg.n_components
+
+    def sweep(state: MixtureState) -> MixtureState:
+        it_next = state.it + 1
+        Y = state.Y if cfg.sample_missing else Y_fixed
+        T = state.X.shape[0]
+        n = Y.shape[-1]
+        keys = jax.random.split(state.key, 19)
+
+        # latent positions (mixture prior)
+        X, acc_new = sample_latent_positions(
+            keys[0], Y, state.X, state.intercept, state.step_X,
+            radii=state.radii, mu=state.mu, sigma=state.sigma,
+            lmbda=state.lmbda, z=state.z,
+            is_directed=cfg.is_directed, mixture=True)
+        acc_X = state.acc_X + acc_new
+        X = X - jnp.mean(X, axis=(0, 1))
+        dist = pairwise_distances(X)
+
+        # intercept + radii
+        if cfg.is_directed:
+            intercept, acc_i = sample_intercepts_directed(
+                keys[1], Y, dist, state.intercept, state.radii,
+                state.step_int, intercept_prior, cfg.intercept_variance_prior)
+        else:
+            intercept, acc_i = sample_intercept_undirected(
+                keys[1], Y, dist, state.intercept, state.step_int[0],
+                intercept_prior[0], cfg.intercept_variance_prior)
+        acc_int = state.acc_int + acc_i
+        if cfg.is_directed:
+            radii, acc_r = sample_radii(keys[2], Y, dist, intercept,
+                                        state.radii, state.step_radii)
+            acc_radii = state.acc_radii + acc_r
+        else:
+            radii, acc_radii = None, None
+
+        # blocked label sampling (hdp_lpcm.py:877)
+        z, n_trans, nk, resp = sample_labels_block(
+            keys[3], X, state.mu, state.sigma, state.lmbda, state.weights)
+
+        # CRF auxiliary variables (hdp_lpcm.py:881-884)
+        m = sample_tables(keys[4], n_trans, state.beta, state.alpha_init,
+                          state.alpha, state.kappa, n_max=n)
+        m_bar, w_override = sample_mbar(keys[5], m, state.beta,
+                                        state.kappa, state.alpha)
+
+        # global stick weights beta (hdp_lpcm.py:887)
+        beta = sample_dirichlet(keys[6], (state.gamma / K) + m_bar)
+
+        # initial + transition distributions (hdp_lpcm.py:890-898)
+        w0 = sample_dirichlet(keys[7], state.alpha_init * beta + nk[0])
+        conc_t = (state.alpha * beta[None, None, :]
+                  + state.kappa * jnp.eye(K)[None]
+                  + n_trans[1:])                          # (T-1, K, K)
+        w_rest = sample_dirichlet(keys[8], conc_t)
+        w_first = jnp.zeros((K, K), X.dtype).at[0].set(w0)
+        weights = jnp.concatenate([w_first[None], w_rest], axis=0)
+
+        # conjugate cluster blocks (hdp_lpcm.py:901-954)
+        mu = sample_cluster_means(keys[9], X, resp, nk, state.sigma,
+                                  state.lmbda, state.mean_var)
+        sigma = sample_cluster_variances(keys[10], X, resp, nk, mu,
+                                         state.lmbda, cfg.a, state.b_scale)
+        lmbda = sample_lambda(keys[11], X, z, mu, sigma,
+                              cfg.lambda_prior, cfg.lambda_variance_prior)
+
+        # hyper-priors (hdp_lpcm.py:957-972)
+        mean_var = state.mean_var
+        if cfg.a0 is not None:
+            mean_var = sample_mean_variance_hyper(keys[12], mu, cfg.a0, cfg.b0)
+        b_scale = state.b_scale
+        if cfg.c0 is not None:
+            b_scale = sample_sigma_scale_hyper(keys[13], sigma, cfg.a,
+                                               cfg.c0, cfg.d0)
+
+        # concentration parameters (hdp_lpcm.py:977-1023)
+        gamma = sample_concentration_param(
+            keys[14], state.gamma,
+            n_clusters=jnp.sum(m_bar > 0).astype(X.dtype),
+            n_samples=jnp.clip(jnp.sum(m_bar), 1.0, None),
+            prior_shape=cfg.gamma_prior_shape, prior_rate=cfg.gamma_prior_rate)
+        alpha_init = sample_concentration_param(
+            keys[15], state.alpha_init,
+            n_clusters=jnp.sum(m[0, 0]),
+            n_samples=jnp.asarray(float(n)),
+            prior_shape=cfg.alpha_init_shape, prior_rate=cfg.alpha_init_rate)
+        alpha, kappa = sample_alpha_kappa_rho(
+            keys[16], n_trans, m, w_override, state.alpha, state.kappa,
+            cfg.alpha_kappa_shape, cfg.alpha_kappa_rate)
+
+        # missing dyads
+        missing_sum = state.missing_sum
+        if cfg.sample_missing:
+            Y = _resample_missing(cfg, keys[17], Y, dist, intercept, radii,
+                                  miss_mask)
+            missing_sum = missing_sum + jnp.where(
+                it_next > cfg.n_burn, jnp.where(miss_mask, Y, 0.0), 0.0)
+
+        # log joint (hdp_lpcm.py:1188-1280)
+        logp = dirichlet_logpdf(beta, jnp.full((K,), gamma / K))
+        logp += dirichlet_logpdf(w0, alpha_init * beta)
+        conc_w = alpha * beta[None, None, :] + kappa * jnp.eye(K)[None]
+        logp += jnp.sum(dirichlet_logpdf(
+            weights[1:], jnp.broadcast_to(conc_w, (T - 1, K, K))))
+        logp += _gather_chain_loglik(z, w0, weights)
+        logp += _mixture_common_logp(
+            cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
+            mean_var, b_scale, intercept_prior)
+
+        step_X, acc_X, step_int, acc_int, step_radii, acc_radii = (
+            _finish_tuning(cfg, state, acc_X, acc_int, acc_radii))
+
+        return state._replace(
+            key=keys[-1], it=it_next, X=X, intercept=intercept, radii=radii,
+            Y=Y if cfg.sample_missing else None, z=z, mu=mu, sigma=sigma,
+            lmbda=lmbda, weights=weights, beta=beta, gamma=gamma,
+            alpha_init=alpha_init, alpha=alpha, kappa=kappa,
+            mean_var=mean_var, b_scale=b_scale,
+            step_X=step_X, acc_X=acc_X, step_int=step_int, acc_int=acc_int,
+            step_radii=step_radii, acc_radii=acc_radii, logp=logp,
+            missing_sum=missing_sum)
+
+    return sweep
