@@ -1,0 +1,1 @@
+from .samples_generator import *

@@ -1,0 +1,98 @@
+"""MCMC convergence diagnostics (reference dynetlsm/trace_utils.py).
+
+ESS via normalised autocorrelation, spectral density at zero via
+Yule-Walker AR fits (implemented directly on the autocovariances — no
+statsmodels dependency), and Geweke's autocorrelation-corrected z-score.
+"""
+import numpy as np
+import scipy.stats as stats
+
+from math import floor, ceil
+
+
+def autocorrelation(x, maxlags=100):
+    """Normalised autocorrelation at lags 0..maxlags."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x - x.mean()
+    n = x.shape[0]
+    maxlags = min(maxlags, n - 1)
+    c = np.correlate(x, x, mode='full')[n - 1:n + maxlags]
+    denom = np.dot(x, x)
+    if denom == 0:
+        return np.zeros(maxlags + 1)
+    return c / denom
+
+
+def effective_n(x, maxlags=100):
+    """Effective sample size n / (1 + 2 sum_k rho_k)
+    (reference trace_utils.py:39-45)."""
+    rho = autocorrelation(x, maxlags=maxlags)
+    return x.shape[0] / (1.0 + 2.0 * np.sum(rho[1:]))
+
+
+def _yule_walker(x, order):
+    """AR(order) coefficients + innovation std via the adjusted Yule-Walker
+    equations on the demeaned series."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x - x.mean()
+    n = x.shape[0]
+    r = np.zeros(order + 1)
+    r[0] = np.dot(x, x) / n
+    for k in range(1, order + 1):
+        r[k] = np.dot(x[:-k], x[k:]) / (n - k)
+    R = np.array([[r[abs(i - j)] for j in range(order)] for i in range(order)])
+    try:
+        coefs = np.linalg.solve(R, r[1:])
+    except np.linalg.LinAlgError:
+        coefs = np.linalg.lstsq(R, r[1:], rcond=None)[0]
+    sigma_sq = r[0] - np.dot(coefs, r[1:])
+    return coefs, np.sqrt(max(sigma_sq, 0.0))
+
+
+def spectrum0_ar(x, max_order='auto'):
+    """f(0) of the spectral density via the AIC-best AR fit
+    (reference trace_utils.py:59-79)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if np.allclose(np.var(x), 0.0):
+        return 0.0, 0.0
+    if max_order == 'auto':
+        max_order = max(1, floor(10 * np.log10(n)))
+
+    best = None
+    for p in range(1, max_order + 1):
+        coefs, sigma = _yule_walker(x, p)
+        if sigma <= 0:
+            continue
+        aic = 2 * n * np.log(sigma) + 2 * (p + 1)
+        var0 = sigma ** 2 / (1.0 - np.sum(coefs)) ** 2
+        if best is None or aic < best[0]:
+            best = (aic, var0, p)
+    if best is None:
+        return 0.0, 0.0
+    _, var0, order = best
+    return var0 / n, order
+
+
+def geweke_corrected(x, first=0.1, last=0.5):
+    """Geweke z-score with AR-spectral variance correction
+    (reference trace_utils.py:82-99)."""
+    n = x.shape[0]
+    x1 = x[:ceil(first * n)]
+    x2 = x[n - floor(last * n):]
+    v1, _ = spectrum0_ar(x1)
+    v2, _ = spectrum0_ar(x2)
+    denom = np.sqrt(v1 + v2)
+    if denom == 0:
+        return 0.0
+    return (np.mean(x1) - np.mean(x2)) / denom
+
+
+def geweke_diag(x, first=0.1, last=0.5, n_burn=None):
+    """(z_score, two-sided p-value) (reference trace_utils.py:102-115)."""
+    x = np.asarray(x, dtype=np.float64)
+    if n_burn is not None:
+        x = x[n_burn:]
+    z = geweke_corrected(x, first=first, last=last)
+    p = 2 * (1 - stats.norm.cdf(np.abs(z)))
+    return z, p

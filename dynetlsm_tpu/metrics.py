@@ -1,0 +1,33 @@
+"""Goodness-of-fit and clustering metrics (reference dynetlsm/metrics.py)."""
+import numpy as np
+
+from sklearn.metrics import roc_auc_score, mutual_info_score
+from sklearn.metrics.cluster import entropy
+
+from .array_utils import triu_indices_from_3d, nondiag_indices_from_3d
+
+
+def network_auc(Y_true, Y_pred, is_directed=False, nan_mask=None):
+    """In-sample AUC over dyads, optionally excluding missing entries."""
+    if is_directed:
+        indices = nondiag_indices_from_3d(Y_true)
+    else:
+        indices = triu_indices_from_3d(Y_true, 1)
+    y_fit = np.asarray(Y_pred)[indices]
+    y_true = np.asarray(Y_true)[indices]
+    if nan_mask is not None:
+        y_fit = y_fit[~nan_mask]
+        y_true = y_true[~nan_mask]
+    return roc_auc_score(y_true, y_fit)
+
+
+def out_of_sample_auc(y_true, y_pred, test_indices):
+    """Held-out dyad AUC on a train_test_split mask."""
+    indices = triu_indices_from_3d(y_true, k=1)
+    return roc_auc_score(np.asarray(y_true)[indices][test_indices], y_pred)
+
+
+def variation_of_information(labels_true, labels_pred):
+    """VI(z, z') = H(z) + H(z') - 2 I(z, z')."""
+    return (entropy(labels_true) + entropy(labels_pred)
+            - 2.0 * mutual_info_score(labels_true, labels_pred))

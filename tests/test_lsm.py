@@ -1,0 +1,56 @@
+"""End-to-end LSM smoke + recovery tests (mirrors reference
+tests/test_lsm.py plus posterior-quality checks)."""
+import numpy as np
+import pytest
+
+from dynetlsm_tpu import DynamicNetworkLSM
+from dynetlsm_tpu.datasets import simple_splitting_dynamic_network
+
+
+def test_lsm_smoke_undirected():
+    Y, _ = simple_splitting_dynamic_network(n_nodes=30, n_time_steps=2,
+                                            random_state=42)
+    model = DynamicNetworkLSM(n_iter=100, tune=100, burn=100,
+                              random_state=123).fit(Y)
+    assert model.X_.shape == (2, 30, 2)
+    assert model.Xs_.shape == (300, 2, 30, 2)
+    assert model.intercepts_.shape == (300, 1)
+    assert np.isfinite(model.logps_).all()
+    # the fitted model should beat chance by a wide margin in-sample.
+    # Calibration: the reference sampler (run via NumPy shims of its Cython
+    # kernels) reaches AUC 0.789 on n=50 with a 3000-sweep budget; the
+    # oracle (true generating probabilities) reaches 0.797 on this config.
+    assert model.auc_ > 0.70
+
+
+def test_lsm_smoke_directed():
+    Y, _ = simple_splitting_dynamic_network(n_nodes=20, n_time_steps=2,
+                                            is_directed=True, random_state=3)
+    model = DynamicNetworkLSM(n_iter=60, tune=60, burn=60, is_directed=True,
+                              random_state=123).fit(Y)
+    assert model.X_.shape == (2, 20, 2)
+    assert model.radii_.shape == (20,)
+    np.testing.assert_allclose(model.radii_.sum(), 1.0, rtol=1e-4)
+    assert model.auc_ > 0.6
+
+
+def test_lsm_multichain():
+    Y, _ = simple_splitting_dynamic_network(n_nodes=16, n_time_steps=2,
+                                            random_state=7)
+    model = DynamicNetworkLSM(n_iter=40, tune=40, burn=40, n_chains=4,
+                              random_state=5).fit(Y)
+    assert model.Xs_.shape == (4, 120, 2, 16, 2)
+    assert model.logps_.shape == (4, 120)
+    assert model.X_.shape == (2, 16, 2)
+
+
+def test_lsm_missing_dyads():
+    Y, _ = simple_splitting_dynamic_network(n_nodes=20, n_time_steps=2,
+                                            random_state=11)
+    Y = Y.astype(np.float64)
+    Y[0, 0, 1] = Y[0, 1, 0] = -1
+    Y[1, 3, 5] = Y[1, 5, 3] = -1
+    model = DynamicNetworkLSM(n_iter=30, tune=30, burn=30,
+                              random_state=9).fit(Y)
+    assert model.X_.shape == (2, 20, 2)
+    assert hasattr(model, 'missings_')
