@@ -26,7 +26,11 @@ def sample_dirichlet(key, alphas):
     alphas = jnp.clip(alphas, SMALL_EPS, None)
     g = jax.random.gamma(key, alphas)
     g = jnp.clip(g, SMALL_EPS, None)
-    return g / jnp.sum(g, axis=-1, keepdims=True)
+    out = g / jnp.sum(g, axis=-1, keepdims=True)
+    # renormalised clip: float32 division can underflow small components to
+    # exactly 0, which downstream CRF probabilities cannot tolerate
+    out = jnp.clip(out, SMALL_EPS, None)
+    return out / jnp.sum(out, axis=-1, keepdims=True)
 
 
 def dirichlet_logpdf(x, alphas):

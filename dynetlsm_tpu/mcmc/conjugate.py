@@ -64,7 +64,10 @@ def sample_cluster_variances(key, X, resp, nk, mu, lmbda, a, b):
     else:
         ss_rest = jnp.zeros(K)
     bk = 0.5 * b + 0.5 * (ss0 + ss_rest)
-    return sample_inv_gamma(key, ak, bk)
+    # float32 floor: empty clusters with a collapsing b_scale hyper-prior can
+    # spiral sigma -> 0, which poisons the 1/sigma terms of the latent prior
+    # (float64 headroom hides this in the reference)
+    return jnp.clip(sample_inv_gamma(key, ak, bk), 1e-8, None)
 
 
 def sample_lambda(key, X, z, mu, sigma, lambda_prior, lambda_variance_prior):
@@ -92,7 +95,7 @@ def sample_mean_variance_hyper(key, mu, a0, b0):
     K = mu.shape[0]
     b = 0.5 * b0 + 0.5 * jnp.sum(mu * mu)
     a = 0.5 * (a0 + K)
-    return sample_inv_gamma(key, a, b)
+    return jnp.clip(sample_inv_gamma(key, a, b), 1e-8, None)
 
 
 def sample_sigma_scale_hyper(key, sigma, a, c0, d0):
@@ -101,4 +104,4 @@ def sample_sigma_scale_hyper(key, sigma, a, c0, d0):
     K = sigma.shape[0]
     scale = 0.5 * d0 + 0.5 * jnp.sum(1.0 / jnp.clip(sigma, SMALL_EPS, None))
     shape = 0.5 * (c0 + K * a)
-    return sample_gamma(key, shape, scale)
+    return jnp.clip(sample_gamma(key, shape, scale), 1e-8, None)

@@ -38,13 +38,19 @@ def replicate_state(state0, n_chains, key):
 
 
 def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
-                     donate=True):
-    """Compile a runner executing ``chunk`` traced iterations.
+                     donate=True, chunk=512):
+    """Compile a runner executing up to ``chunk`` traced iterations.
 
     ``trace_fn(state) -> pytree`` selects what is recorded each (thinned)
     iteration.  With ``thin > 1`` the body advances ``thin`` sweeps per
     recorded sample (device-side thinning — the reference thins traces on the
     host after the fact, hdp_lpcm.py:1072-1083).
+
+    The iteration count is a *dynamic* argument: the loop writes into a
+    fixed ``chunk``-sized trace buffer via ``fori_loop``, so every chunk —
+    including the final partial one — reuses one compiled executable
+    (a static scan length would trigger a full sweep recompile per distinct
+    remainder).
     """
     step = jax.vmap(sweep_fn) if multi_chain else sweep_fn
 
@@ -54,13 +60,21 @@ def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
         return jax.lax.fori_loop(0, thin, lambda _, s: step(s), state)
 
     def run(state, n_samples):
-        def body(state, _):
-            state = advance(state)
-            return state, trace_fn(state)
-        return jax.lax.scan(body, state, None, length=n_samples)
+        sample0 = trace_fn(state)
+        buf = jax.tree.map(
+            lambda x: jnp.zeros((chunk,) + x.shape, x.dtype), sample0)
 
-    return jax.jit(run, static_argnums=(1,),
-                   donate_argnums=(0,) if donate else ())
+        def body(i, carry):
+            state, buf = carry
+            state = advance(state)
+            buf = jax.tree.map(
+                lambda b, v: jax.lax.dynamic_update_index_in_dim(b, v, i, 0),
+                buf, trace_fn(state))
+            return state, buf
+
+        return jax.lax.fori_loop(0, n_samples, body, (state, buf))
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
 
 
 def collect_traces(runner, state, n_samples, chunk=512, progress=None):
@@ -76,7 +90,7 @@ def collect_traces(runner, state, n_samples, chunk=512, progress=None):
     while remaining > 0:
         step_n = min(chunk, remaining)
         state, ys = runner(state, step_n)
-        chunks.append(jax.tree.map(np.asarray, ys))
+        chunks.append(jax.tree.map(lambda y: np.asarray(y)[:step_n], ys))
         remaining -= step_n
         if progress is not None:
             progress(n_samples - remaining, n_samples)

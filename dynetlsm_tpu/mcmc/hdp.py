@@ -29,6 +29,10 @@ def sample_tables(key, n_trans, beta, alpha_init, alpha, kappa, n_max):
     p_t = alpha * beta[None, :] + kappa * jnp.eye(K)     # (K, K) for t >= 1
     p = jnp.broadcast_to(p_t[None], (T, K, K))
     p = p.at[0].set(jnp.zeros((K, K)).at[0].set(p0))
+    # float32 guard: beta entries of inactive clusters can underflow to 0,
+    # which would make the i=0 probability 0/0 = NaN (float64 headroom hides
+    # this in the reference)
+    p = jnp.clip(p, SMALL_EPS, None)
 
     i = jnp.arange(n_max, dtype=jnp.float32)             # (n_max,)
     probs = p[..., None] / (p[..., None] + i)            # (T, K, K, n_max)
@@ -38,9 +42,13 @@ def sample_tables(key, n_trans, beta, alpha_init, alpha, kappa, n_max):
                    axis=-1)
 
 
-def sample_mbar(key, m, beta, kappa, alpha):
+def sample_mbar(key, m, beta, kappa, alpha, n_max):
     """Sticky override variables w and the corrected table counts m_bar
     (reference sample_auxillary.py:31-50).
+
+    w[t, j] ~ Binomial(m[t+1, j, j], rho / (rho + beta_j (1 - rho))) is
+    drawn as a masked Bernoulli sum over a padded arange (like the table
+    counts) — ``jax.random.binomial`` NaNs on batched (n=0, p=1) corners.
 
     Returns (m_bar_sum (K,), w (T-1, K)).
     """
@@ -48,7 +56,11 @@ def sample_mbar(key, m, beta, kappa, alpha):
     rho = kappa / (alpha + kappa)
     p = rho / (rho + beta * (1.0 - rho))                 # (K,)
     diag_m = jnp.einsum('tkk->tk', m[1:])                # (T-1, K)
-    w = jax.random.binomial(key, diag_m, jnp.broadcast_to(p, diag_m.shape))
+    i = jnp.arange(n_max, dtype=jnp.float32)
+    u = jax.random.uniform(key, (T - 1, K, n_max))
+    trial = (u < p[None, :, None]).astype(jnp.float32)
+    w = jnp.sum(jnp.where(i[None, None, :] < diag_m[..., None], trial, 0.0),
+                axis=-1)
     # m_bar[t] = m[t+1] - diag(w[t]); summed over (t, j) plus initial row
     m_bar_sum = jnp.sum(m[1:], axis=(0, 1)) - jnp.sum(w, axis=0) + m[0, 0]
     return m_bar_sum, w
@@ -59,12 +71,15 @@ def sample_concentration_param(key, alpha, n_clusters, n_samples,
     """Escobar & West (1995) auxiliary-variable concentration update
     (reference sample_concentration.py:6-21)."""
     k_eta, k_mix, k_gam = jax.random.split(key, 3)
-    eta = sample_beta(k_eta, alpha + 1.0, n_samples)
+    eta = sample_beta(k_eta, alpha + 1.0, jnp.clip(n_samples, 1.0, None))
     m_shape = prior_shape + n_clusters - 1.0
     m_scale = prior_rate - jnp.log(jnp.clip(eta, SMALL_EPS, None))
-    log_odds = (m_shape / m_scale) / n_samples
+    log_odds = (m_shape / m_scale) / jnp.clip(n_samples, 1.0, None)
     mix = jax.random.uniform(k_mix) < (log_odds / (1.0 + log_odds))
     m_shape = jnp.where(mix, m_shape + 1.0, m_shape)
+    # degenerate-count guard: keeps the Gamma shape strictly positive so a
+    # transient zero-table state cannot poison the chain with NaNs
+    m_shape = jnp.clip(m_shape, 0.01, None)
     return sample_gamma(k_gam, m_shape, m_scale)
 
 

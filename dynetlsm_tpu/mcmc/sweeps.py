@@ -447,7 +447,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
         m = sample_tables(keys[4], n_trans, state.beta, state.alpha_init,
                           state.alpha, state.kappa, n_max=n)
         m_bar, w_override = sample_mbar(keys[5], m, state.beta,
-                                        state.kappa, state.alpha)
+                                        state.kappa, state.alpha, n_max=n)
 
         # global stick weights beta (hdp_lpcm.py:887)
         beta = sample_dirichlet(keys[6], (state.gamma / K) + m_bar)

@@ -1,0 +1,324 @@
+"""Dynamic latent position cluster model (finite K), TPU-native sampler.
+
+Mirrors the reference ``DynamicNetworkLPCM`` (reference lpcm.py:134-873):
+Gaussian-mixture clustering of the latent positions with a time-constant
+HMM over labels, conjugate Gibbs blocks for mixture parameters, and MAP/VI
+model selection.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DTYPE
+from ..math.init import longitudinal_kmeans
+from ..mcmc.states import MixtureState
+from ..mcmc.sweeps import SweepConfig, make_lpcm_sweep
+from ..mcmc.driver import (
+    chain_mesh, shard_state, replicate_state, make_scan_runner,
+    collect_traces)
+from ..model_selection.posterior_vi import minimize_posterior_expected_vi
+from ..ops.distances import pairwise_distances
+from ..ops.forecast import marginal_forecast
+from .base import (
+    validate_network, to_device_f32, chain_traces_to_numpy, total_iterations)
+from .mixture_base import MixtureModelMixin, init_from_lsm, resolve_hyperpriors
+
+__all__ = ['DynamicNetworkLPCM']
+
+
+class DynamicNetworkLPCM(MixtureModelMixin):
+    def __init__(self,
+                 n_features=2,
+                 n_components=5,
+                 is_directed=False,
+                 selection_type='map',
+                 n_iter=5000,
+                 tune=2500,
+                 tune_interval=100,
+                 burn=2500,
+                 thin=None,
+                 intercept_prior='auto',
+                 intercept_variance_prior=2,
+                 mean_variance_prior='auto',
+                 a=2.0,
+                 b='auto',
+                 lambda_prior=0.9,
+                 lambda_variance_prior=0.01,
+                 dirichlet_prior='uniform',
+                 sigma_prior_std=4.0,
+                 mean_variance_prior_std=4.0,
+                 step_size_X='auto',
+                 step_size_intercept=0.1,
+                 step_size_radii=175000,
+                 n_control=None,
+                 n_resample_control=100,
+                 copy=True,
+                 random_state=None,
+                 n_chains=1,
+                 devices=None,
+                 trace_chunk=512):
+        self.n_iter = n_iter
+        self.is_directed = is_directed
+        self.selection_type = selection_type
+        self.n_features = n_features
+        self.n_components = n_components
+        self.dirichlet_prior = dirichlet_prior
+        self.step_size_X = step_size_X
+        self.intercept_prior = intercept_prior
+        self.intercept_variance_prior = intercept_variance_prior
+        self.step_size_intercept = step_size_intercept
+        self.mean_variance_prior = mean_variance_prior
+        self.a = a
+        self.b = b
+        self.lambda_prior = lambda_prior
+        self.lambda_variance_prior = lambda_variance_prior
+        self.mean_variance_prior_std = mean_variance_prior_std
+        self.sigma_prior_std = sigma_prior_std
+        self.step_size_radii = step_size_radii
+        self.tune = tune
+        self.tune_interval = tune_interval
+        self.burn = burn
+        self.thin = thin
+        self.n_control = n_control
+        self.n_resample_control = n_resample_control
+        self.copy = copy
+        self.random_state = random_state
+        self.n_chains = n_chains
+        self.devices = devices
+        self.trace_chunk = trace_chunk
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, Y):
+        rng = np.random.RandomState(
+            self.random_state if isinstance(self.random_state, (int, np.integer))
+            else None)
+        K = self.n_components
+
+        Y, nan_mask, miss_mask, sample_missing = validate_network(
+            Y, self.is_directed, copy=self.copy)
+        self.nan_mask_ = nan_mask
+        T, n, _ = Y.shape
+
+        # ---- nested LSM init + kmeans (reference lpcm.py:45-131)
+        emb, Y_fit = init_from_lsm(
+            Y, self.is_directed, self.n_features, sample_missing,
+            self.n_control, self.n_resample_control,
+            rng.randint(0, 2**31 - 1))
+        self.Y_fit_ = Y_fit
+        X0 = emb.X_
+        intercept0 = emb.intercept_
+        radii0 = emb.radii_ if self.is_directed else None
+
+        mu0, sigma0, z0 = longitudinal_kmeans(
+            X0, n_clusters=K, random_state=rng.randint(0, 2**31 - 1))
+        resp0 = np.eye(K)[z0[0]]
+        init_weights0 = resp0.sum(axis=0) / n
+        trans_weights0 = np.full((K, K), 1.0 / K)
+        lmbda0 = float(self.lambda_prior)
+
+        self.dirichlet_prior_ = (1.0 if self.dirichlet_prior == 'uniform'
+                                 else 1.0 / K)
+        if self.step_size_X == 'auto':
+            self.step_size_X_ = 0.01 if self.is_directed else 0.1
+        else:
+            self.step_size_X_ = float(self.step_size_X)
+
+        intercept_prior = self.intercept_prior
+        if isinstance(intercept_prior, str) and intercept_prior == 'auto':
+            intercept_prior = intercept0.copy()
+        intercept_prior = np.broadcast_to(
+            np.asarray(intercept_prior, np.float64), intercept0.shape)
+        self.intercept_prior_ = np.asarray(intercept_prior)
+
+        resolve_hyperpriors(self, n)
+
+        cfg = SweepConfig(
+            is_directed=self.is_directed,
+            sample_missing=sample_missing,
+            tune=int(self.tune or 0),
+            tune_interval=self.tune_interval,
+            n_burn=(self.tune or 0) + (self.burn or 0),
+            intercept_variance_prior=float(self.intercept_variance_prior),
+            n_components=K,
+            a=float(self.a),
+            lambda_prior=float(self.lambda_prior),
+            lambda_variance_prior=float(self.lambda_variance_prior),
+            a0=self.a0_, b0=self.b0_, c0=self.c0_, d0=self.d0_,
+            dirichlet_prior=float(self.dirichlet_prior_),
+            tune_radii=True)
+        self._cfg = cfg
+
+        Y_dev = to_device_f32(self.Y_fit_)
+        miss_dev = jnp.asarray(miss_mask) if sample_missing else None
+        sweep = make_lpcm_sweep(None if sample_missing else Y_dev, miss_dev,
+                                intercept_prior.astype(DTYPE), cfg)
+
+        state0 = MixtureState(
+            key=jax.random.PRNGKey(rng.randint(0, 2**31 - 1)),
+            it=jnp.zeros((), jnp.int32),
+            X=to_device_f32(X0),
+            intercept=to_device_f32(intercept0),
+            radii=to_device_f32(radii0) if self.is_directed else None,
+            Y=Y_dev if sample_missing else None,
+            z=jnp.asarray(z0, jnp.int32),
+            mu=to_device_f32(mu0), sigma=to_device_f32(sigma0),
+            lmbda=jnp.asarray(lmbda0, DTYPE),
+            weights=None, beta=None, gamma=None, alpha_init=None,
+            alpha=None, kappa=None,
+            init_weights=to_device_f32(init_weights0),
+            trans_weights=to_device_f32(trans_weights0),
+            mean_var=jnp.asarray(self.mean_variance_prior_, DTYPE),
+            b_scale=jnp.asarray(self.b_, DTYPE),
+            step_X=jnp.full((T, n), self.step_size_X_, DTYPE),
+            acc_X=jnp.zeros((T, n), DTYPE),
+            step_int=jnp.full(intercept0.shape,
+                              float(self.step_size_intercept), DTYPE),
+            acc_int=jnp.zeros(intercept0.shape, DTYPE),
+            step_radii=(jnp.asarray(float(self.step_size_radii), DTYPE)
+                        if self.is_directed else None),
+            acc_radii=(jnp.zeros((), DTYPE) if self.is_directed else None),
+            logp=jnp.zeros((), DTYPE),
+            missing_sum=(jnp.zeros((T, n, n), DTYPE) if sample_missing
+                         else None))
+
+        state = replicate_state(state0, self.n_chains,
+                                jax.random.PRNGKey(rng.randint(0, 2**31 - 1)))
+        mesh = None
+        devices = self.devices
+        if devices is None and len(jax.devices()) > 1 \
+                and self.n_chains % len(jax.devices()) == 0:
+            devices = jax.devices()
+        if devices is not None and len(devices) > 1 \
+                and self.n_chains % len(devices) == 0:
+            mesh = chain_mesh(devices)
+            state = shard_state(state, mesh)
+        self.mesh_ = mesh
+
+        def trace_fn(s):
+            out = {'X': s.X, 'intercept': s.intercept, 'z': s.z, 'mu': s.mu,
+                   'sigma': s.sigma, 'lmbda': s.lmbda,
+                   'init_weights': s.init_weights,
+                   'trans_weights': s.trans_weights, 'logp': s.logp}
+            if self.is_directed:
+                out['radii'] = s.radii
+            return out
+
+        thin = self.thin or 1
+        runner = make_scan_runner(sweep, trace_fn, thin=thin, chunk=self.trace_chunk)
+        n_total = total_iterations(self.n_iter, self.tune, self.burn)
+        n_samples = (n_total - 1) // thin
+        state, traces = collect_traces(runner, state, n_samples,
+                                       chunk=self.trace_chunk)
+        self._final_state = jax.tree.map(np.asarray, state)
+
+        tr = chain_traces_to_numpy(traces, self.n_chains)
+
+        def with_init(name, init_val):
+            arr = tr[name].astype(np.float64)
+            init_val = np.asarray(init_val, np.float64)
+            if self.n_chains == 1:
+                return np.concatenate([init_val[None], arr])
+            c = self.n_chains
+            return np.concatenate(
+                [np.broadcast_to(init_val, (c, 1) + init_val.shape), arr],
+                axis=1)
+
+        self.Xs_ = with_init('X', X0)
+        self.intercepts_ = with_init('intercept', intercept0)
+        self.mus_ = with_init('mu', mu0)
+        self.sigmas_ = with_init('sigma', sigma0)
+        self.zs_ = with_init('z', z0).astype(int)
+        self.init_weights_ = with_init('init_weights', init_weights0)
+        self.trans_weights_ = with_init('trans_weights', trans_weights0)
+        self.lambdas_ = with_init('lmbda', np.asarray(lmbda0))
+        # the init sample's log joint is not evaluated on device; -inf keeps
+        # it out of MAP selection when burn-in is zero
+        self.logps_ = with_init('logp', np.asarray(-np.inf))
+        if self.is_directed:
+            self.radiis_ = with_init('radii', radii0)
+
+        # ---- model selection (reference lpcm.py:717-740; the reference's
+        # MAP branch indexes logps_[n_burn:] without re-offsetting — fixed
+        # here to select among post-burn samples)
+        self._calculate_posterior_cooccurrences()
+        nb = self.n_burn_
+        logps_flat = self._flat_posterior('logps_')
+        if self.selection_type == 'map':
+            best = int(np.argmax(logps_flat))
+        else:
+            best = minimize_posterior_expected_vi(
+                self._flat_posterior('zs_'), self.cooccurrence_probas_,
+                tie_break=logps_flat, n_groups=self.n_components)
+
+        self.logp_ = float(logps_flat[best])
+        self.X_ = self._flat_posterior('Xs_')[best]
+        self.intercept_ = self._flat_posterior('intercepts_')[best]
+        self.lambda_ = np.atleast_1d(self._flat_posterior('lambdas_')[best])
+        if self.is_directed:
+            self.radii_ = self._flat_posterior('radiis_')[best]
+        self.z_ = self._flat_posterior('zs_')[best]
+        self.init_weight_ = self._flat_posterior('init_weights_')[best]
+        self.trans_weight_ = self._flat_posterior('trans_weights_')[best]
+        self.mu_ = self._flat_posterior('mus_')[best]
+        self.sigma_ = self._flat_posterior('sigmas_')[best]
+        self.selected_id_ = best + nb if self.n_chains == 1 else best
+
+        self._align_traces()
+        self._store_posterior_means()
+        if sample_missing:
+            fs = self._final_state
+            denom = max(n_total - 1 - cfg.n_burn, 1)
+            self.missings_ = np.asarray(fs.missing_sum[0],
+                                        np.float64) / denom
+        self.case_control_sampler_ = None
+        return self
+
+    # ------------------------------------------------------------ forecasts
+
+    @property
+    def forecast_probas_map_(self):
+        """Plug-in forecast from the selected model (reference lpcm.py:230-240)."""
+        from scipy.special import expit
+        ws = self.trans_weight_[self.z_[-1]]
+        X_ahead = np.zeros((self.Y_fit_.shape[1], self.n_features))
+        for g in range(self.n_components):
+            X_ahead += ws[:, [g]] * (
+                float(self.lambda_[0]) * self.mu_[g]
+                + (1 - float(self.lambda_[0])) * self.X_[-1])
+        dist = np.asarray(pairwise_distances(to_device_f32(X_ahead)))
+        return expit(float(self.intercept_[0]) - dist)
+
+    @property
+    def forecast_probas_marginalized_(self):
+        """Posterior-marginalised forecast (reference lpcm.py:261-283)."""
+        def renorm(i):
+            z = self._flat_posterior('zs_')[i]
+            return (z[-1], self._flat_posterior('trans_weights_')[i],
+                    self._flat_posterior('mus_')[i],
+                    self._flat_posterior('sigmas_')[i])
+
+        X_hat = self._forecast_xhat(renorm)
+        return np.asarray(marginal_forecast(
+            X_hat,
+            self._flat_posterior('Xs_')[:, -1],
+            self._flat_posterior('zs_')[:, -1],
+            self._flat_posterior('trans_weights_'),
+            self._flat_posterior('mus_'),
+            self._flat_posterior('sigmas_'),
+            self._flat_posterior('intercepts_')[:, 0],
+            np.ravel(self._flat_posterior('lambdas_')),
+            renormalize=False))
+
+    @property
+    def trans_weights_last_(self):
+        return self.trans_weight_
+
+    def delete_traces(self):
+        """Free trace storage (reference lpcm.py:858-873)."""
+        for name in ('Xs_', 'intercepts_', 'zs_', 'mus_', 'sigmas_',
+                     'init_weights_', 'trans_weights_', 'lambdas_', 'logps_'):
+            if hasattr(self, name):
+                delattr(self, name)
+        if self.is_directed and hasattr(self, 'radiis_'):
+            del self.radiis_

@@ -225,7 +225,7 @@ class DynamicNetworkLSM:
                 out['radii'] = s.radii
             return out
 
-        runner = make_scan_runner(sweep, trace_fn)
+        runner = make_scan_runner(sweep, trace_fn, chunk=self.trace_chunk)
         n_total = total_iterations(self.n_iter, self.tune, self.burn)
         state, traces = collect_traces(runner, state, n_total - 1,
                                        chunk=self.trace_chunk)

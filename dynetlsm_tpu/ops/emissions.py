@@ -12,7 +12,8 @@ normalised per (t, node) in log space.
 """
 import jax.numpy as jnp
 
-LOG_2PI = float(jnp.log(2.0 * jnp.pi))
+import numpy as _np
+LOG_2PI = float(_np.log(2.0 * _np.pi))  # host constant: no device call at import
 
 
 def spherical_normal_logpdf(x, mean, var):
