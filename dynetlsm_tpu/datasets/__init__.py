@@ -1,1 +1,3 @@
 from .samples_generator import *
+from .loaders import load_monks, load_got, load_alliances
+from .detection_limit import make_lookup_table, detection_limit_simulation
