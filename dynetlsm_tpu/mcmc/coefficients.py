@@ -8,7 +8,18 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.likelihoods import undirected_loglik_full, directed_loglik_full
+from ..ops.case_control import approx_directed_loglik_full
 from .metropolis import random_walk_accept, dirichlet_metropolis_step
+
+
+def _directed_loglik(Y, dist, X, radii, b_in, b_out, cc):
+    """Full or case-control directed log-likelihood dispatch
+    (reference sample_coefficients.py:21-40)."""
+    if cc is not None:
+        return approx_directed_loglik_full(
+            X, radii, cc['out_edges'], cc['degrees'], cc['ctrl_out'],
+            b_in, b_out)
+    return directed_loglik_full(Y, dist, radii, b_in, b_out)
 
 
 def sample_intercept_undirected(key, Y, dist, intercept, step_size,
@@ -30,7 +41,7 @@ def sample_intercept_undirected(key, Y, dist, intercept, step_size,
 
 
 def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
-                               prior_mean, prior_var):
+                               prior_mean, prior_var, X=None, cc=None):
     """Sequential MH for (intercept_in, intercept_out)
     (reference sample_coefficients.py:18-75).
 
@@ -39,7 +50,7 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
     keys = jax.random.split(key, 4)
 
     def logp(b_in, b_out, prior_idx, b):
-        ll = directed_loglik_full(Y, dist, radii, b_in, b_out)
+        ll = _directed_loglik(Y, dist, X, radii, b_in, b_out, cc)
         return ll - (b - prior_mean[prior_idx]) ** 2 / (2.0 * prior_var)
 
     # intercept_in
@@ -61,11 +72,11 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
     return new, acc
 
 
-def sample_radii(key, Y, dist, intercept, radii, step_size):
+def sample_radii(key, Y, dist, intercept, radii, step_size, X=None, cc=None):
     """Dirichlet-proposal MH on the radii simplex; the Dirichlet(1) prior is
     constant so only the likelihood enters (reference
     sample_coefficients.py:91-121)."""
     def logp(r):
-        return directed_loglik_full(Y, dist, r, intercept[0], intercept[1])
+        return _directed_loglik(Y, dist, X, r, intercept[0], intercept[1], cc)
 
     return dirichlet_metropolis_step(key, radii, logp, step_size)

@@ -95,7 +95,7 @@ def _mixture_prior_per_t(xs, x_cur, mu_z, sigma_z, lmbda):
 def sample_latent_positions(key, Y, X, intercept, step_size, *,
                             radii=None, tau_sq=None, sigma_sq=None,
                             mu=None, sigma=None, lmbda=None, z=None,
-                            is_directed=False, mixture=False):
+                            cc=None, is_directed=False, mixture=False):
     """One full sweep of single-site MH updates over all (t, node) sites.
 
     Parameters
@@ -108,6 +108,10 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     radii : (n,) social radii (directed only)
     tau_sq, sigma_sq : LSM random-walk prior scales (mixture=False)
     mu (K, d), sigma (K,), lmbda (), z (T, n) : mixture prior (mixture=True)
+    cc : optional case-control dict (directed only) with in_edges,
+        out_edges, degrees, ctrl_in, ctrl_out — switches the likelihood to
+        the O(n * m) approximation (reference
+        sample_latent_positions.py:103-117)
 
     Returns
     -------
@@ -121,21 +125,37 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     t_idx = jnp.arange(T)
     partner = jnp.arange(n)
 
+    use_cc = cc is not None
+
     def node_update(j, carry):
         X, acc = carry
         for phase in (0, 1):
             x_cur = X[:, j, :]                               # (T, d)
             x_prop = x_cur + step_size[:, j, None] * eps[phase, j]
-            Y_row = Y[:, j, :]
-            Y_col = Y[:, :, j]
-            r_node = radii[j] if is_directed else None
 
-            ll_prop = _partial_loglik_terms(
-                Y_row, Y_col, X, x_prop, radii, r_node, intercept, is_directed)
-            ll_cur = _partial_loglik_terms(
-                Y_row, Y_col, X, x_cur, radii, r_node, intercept, is_directed)
-            mask = (partner != j).astype(X.dtype)[None, :]
-            delta_ll = jnp.sum((ll_prop - ll_cur) * mask, axis=-1)   # (T,)
+            if use_cc:
+                from ..ops.case_control import approx_directed_partial_loglik
+
+                def cc_ll(x):
+                    return approx_directed_partial_loglik(
+                        X, radii, j, x, cc['in_edges'][:, j],
+                        cc['out_edges'][:, j], cc['degrees'][:, j],
+                        cc['ctrl_in'][:, j], cc['ctrl_out'][:, j],
+                        intercept[0], intercept[1])
+
+                delta_ll = cc_ll(x_prop) - cc_ll(x_cur)      # (T,)
+            else:
+                Y_row = Y[:, j, :]
+                Y_col = Y[:, :, j]
+                r_node = radii[j] if is_directed else None
+                ll_prop = _partial_loglik_terms(
+                    Y_row, Y_col, X, x_prop, radii, r_node, intercept,
+                    is_directed)
+                ll_cur = _partial_loglik_terms(
+                    Y_row, Y_col, X, x_cur, radii, r_node, intercept,
+                    is_directed)
+                mask = (partner != j).astype(X.dtype)[None, :]
+                delta_ll = jnp.sum((ll_prop - ll_cur) * mask, axis=-1)  # (T,)
 
             if mixture:
                 z_j = z[:, j]

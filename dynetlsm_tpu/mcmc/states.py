@@ -37,6 +37,9 @@ class LSMState(NamedTuple):
     X_ref: jnp.ndarray
     # posterior sum of sampled missing dyads (post-burn)
     missing_sum: Optional[jnp.ndarray]
+    # case-control control-node index tensors (T, n, n_control), -1 padded
+    ctrl_in: Optional[jnp.ndarray] = None
+    ctrl_out: Optional[jnp.ndarray] = None
 
 
 class MixtureState(NamedTuple):
@@ -81,3 +84,6 @@ class MixtureState(NamedTuple):
     # log joint + MAP
     logp: jnp.ndarray
     missing_sum: Optional[jnp.ndarray]
+    # case-control control-node index tensors (T, n, n_control), -1 padded
+    ctrl_in: Optional[jnp.ndarray] = None
+    ctrl_out: Optional[jnp.ndarray] = None

@@ -24,6 +24,8 @@ from ..ops.distances import pairwise_distances
 from ..ops.likelihoods import (
     undirected_loglik_full, directed_loglik_full,
     directed_network_probas)
+from ..ops.case_control import (
+    approx_directed_loglik_full, sample_control_nodes)
 from .metropolis import maybe_tune
 from .latent import sample_latent_positions
 from .coefficients import (
@@ -73,16 +75,35 @@ class SweepConfig:
     # whether the radii MH step size is tuned (LSM: no, ref lsm.py:470-472;
     # LPCM/HDP: yes, ref hdp_lpcm.py:744-747)
     tune_radii: bool = False
+    # case-control likelihood (directed only): number of control non-edges
+    # per node and the resampling cadence (reference lsm.py:171-179)
+    n_control: Optional[int] = None
+    n_resample_control: int = 100
 
 
 # ---------------------------------------------------------------------------
 # shared pieces
 # ---------------------------------------------------------------------------
 
-def _network_loglik(cfg, Y, dist, intercept, radii):
+def _network_loglik(cfg, Y, dist, intercept, radii, X=None, cc=None):
     if cfg.is_directed:
+        if cc is not None:
+            return approx_directed_loglik_full(
+                X, radii, cc['out_edges'], cc['degrees'], cc['ctrl_out'],
+                intercept[0], intercept[1])
         return directed_loglik_full(Y, dist, radii, intercept[0], intercept[1])
     return undirected_loglik_full(Y, dist, intercept[0])
+
+
+def _refresh_controls(cfg, key, state, Y):
+    """Periodically redraw the control-node sets inside the jitted sweep
+    (reference CaseControlSampler.resample, case_control_likelihood.py:27-33).
+    """
+    do = (state.it % cfg.n_resample_control) == 0
+    fresh_in, fresh_out = sample_control_nodes(key, Y, cfg.n_control)
+    ctrl_in = jnp.where(do, fresh_in, state.ctrl_in)
+    ctrl_out = jnp.where(do, fresh_out, state.ctrl_out)
+    return ctrl_in, ctrl_out
 
 
 def _resample_missing(cfg, key, Y, dist, intercept, radii, miss_mask):
@@ -102,9 +123,9 @@ def _resample_missing(cfg, key, Y, dist, intercept, radii, miss_mask):
     return jnp.where(miss_mask, draw, Y)
 
 
-def _lsm_logp(cfg, Y, X, intercept, radii, dist, intercept_prior):
+def _lsm_logp(cfg, Y, X, intercept, radii, dist, intercept_prior, cc=None):
     """Reference lsm.py:576-625."""
-    loglik = _network_loglik(cfg, Y, dist, intercept, radii)
+    loglik = _network_loglik(cfg, Y, dist, intercept, radii, X=X, cc=cc)
     loglik -= 0.5 * jnp.sum(X[0] * X[0]) / cfg.tau_sq
     if X.shape[0] > 1:
         diff = X[1:] - X[:-1]
@@ -145,22 +166,33 @@ def _gather_chain_loglik(z, w0, w_trans):
 # LSM sweep
 # ---------------------------------------------------------------------------
 
-def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
+def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
+                   cc_static=None):
     """Build the LSM sweep.  ``Y_fixed`` is the imputed network (used when no
     missing dyads are resampled); ``miss_mask`` the boolean missing-dyad
-    tensor or None."""
+    tensor or None; ``cc_static`` the fixed case-control edge structure
+    (in_edges / out_edges / degrees device arrays) when enabled."""
     intercept_prior = jnp.asarray(intercept_prior)
+    use_cc = cc_static is not None
 
     def sweep(state: LSMState) -> LSMState:
         it_next = state.it + 1
         Y = state.Y if cfg.sample_missing else Y_fixed
-        keys = jax.random.split(state.key, 6)
+        keys = jax.random.split(state.key, 7)
+
+        # 0. case-control control-node refresh
+        if use_cc:
+            ctrl_in, ctrl_out = _refresh_controls(cfg, keys[4], state, Y)
+            cc = dict(cc_static, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+        else:
+            ctrl_in = ctrl_out = None
+            cc = None
 
         # 1. latent positions
         X, acc_new = sample_latent_positions(
             keys[0], Y, state.X, state.intercept, state.step_X,
             radii=state.radii, tau_sq=cfg.tau_sq, sigma_sq=cfg.sigma_sq,
-            is_directed=cfg.is_directed, mixture=False)
+            cc=cc, is_directed=cfg.is_directed, mixture=False)
         acc_X = state.acc_X + acc_new
 
         # 2. Procrustes toward the burn-phase MAP (reference lsm.py:495-498)
@@ -170,14 +202,15 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
         # 3. center across time (lsm.py:501)
         X = X - jnp.mean(X, axis=(0, 1))
 
-        # 4. cached distances
-        dist = pairwise_distances(X)
+        # 4. cached distances (skipped under case-control, lsm.py:504-505)
+        dist = None if use_cc else pairwise_distances(X)
 
         # 5. intercept
         if cfg.is_directed:
             intercept, acc_i = sample_intercepts_directed(
                 keys[1], Y, dist, state.intercept, state.radii,
-                state.step_int, intercept_prior, cfg.intercept_variance_prior)
+                state.step_int, intercept_prior, cfg.intercept_variance_prior,
+                X=X, cc=cc)
         else:
             intercept, acc_i = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
@@ -187,7 +220,8 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
         # 6. radii (directed)
         if cfg.is_directed:
             radii, acc_r = sample_radii(keys[2], Y, dist, intercept,
-                                        state.radii, state.step_radii)
+                                        state.radii, state.step_radii,
+                                        X=X, cc=cc)
             acc_radii = state.acc_radii + acc_r
         else:
             radii, acc_radii = None, None
@@ -201,7 +235,8 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
                 it_next > cfg.n_burn, jnp.where(miss_mask, Y, 0.0), 0.0)
 
         # 8. log joint + MAP tracking (lsm.py:547-566)
-        logp = _lsm_logp(cfg, Y, X, intercept, radii, dist, intercept_prior)
+        logp = _lsm_logp(cfg, Y, X, intercept, radii, dist, intercept_prior,
+                         cc=cc)
         reset = jnp.logical_and(cfg.tune > 0, it_next == cfg.n_burn)
         better = jnp.logical_or(reset, logp > state.logp_map)
         logp_map = jnp.where(better, logp, state.logp_map)
@@ -229,13 +264,14 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
             step_radii = state.step_radii
 
         return LSMState(
-            key=keys[5], it=it_next, X=X, intercept=intercept, radii=radii,
+            key=keys[6], it=it_next, X=X, intercept=intercept, radii=radii,
             Y=Y if cfg.sample_missing else None,
             step_X=step_X, acc_X=acc_X, step_int=step_int, acc_int=acc_int,
             step_radii=step_radii, acc_radii=acc_radii,
             logp=logp, logp_map=logp_map, X_map=X_map,
             intercept_map=intercept_map, radii_map=radii_map,
-            logp_ref=logp_ref, X_ref=X_ref, missing_sum=missing_sum)
+            logp_ref=logp_ref, X_ref=X_ref, missing_sum=missing_sum,
+            ctrl_in=ctrl_in, ctrl_out=ctrl_out)
 
     return sweep
 
@@ -245,12 +281,12 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
 # ---------------------------------------------------------------------------
 
 def _mixture_common_logp(cfg, Y, X, intercept, radii, dist, z, mu, sigma,
-                         lmbda, mean_var, b_scale, intercept_prior):
+                         lmbda, mean_var, b_scale, intercept_prior, cc=None):
     """Network + latent + cluster-parameter + hyper-prior terms shared by the
     LPCM and HDP-LPCM log joints (reference lpcm.py:789-855 /
     hdp_lpcm.py:1213-1278)."""
     n = Y.shape[-1]
-    ll = _network_loglik(cfg, Y, dist, intercept, radii)
+    ll = _network_loglik(cfg, Y, dist, intercept, radii, X=X, cc=cc)
 
     diff = intercept - intercept_prior
     ll -= jnp.sum(0.5 * diff * diff / cfg.intercept_variance_prior)
@@ -296,31 +332,41 @@ def _finish_tuning(cfg, state, acc_X, acc_int, acc_radii):
 # LPCM sweep
 # ---------------------------------------------------------------------------
 
-def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
+def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
+                    cc_static=None):
     """Finite-K LPCM sweep (reference lpcm.py:514-701)."""
     intercept_prior = jnp.asarray(intercept_prior)
     K = cfg.n_components
+    use_cc = cc_static is not None
 
     def sweep(state: MixtureState) -> MixtureState:
         it_next = state.it + 1
         Y = state.Y if cfg.sample_missing else Y_fixed
-        keys = jax.random.split(state.key, 13)
+        keys = jax.random.split(state.key, 14)
+
+        if use_cc:
+            ctrl_in, ctrl_out = _refresh_controls(cfg, keys[13], state, Y)
+            cc = dict(cc_static, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+        else:
+            ctrl_in = ctrl_out = None
+            cc = None
 
         # latent positions (mixture prior)
         X, acc_new = sample_latent_positions(
             keys[0], Y, state.X, state.intercept, state.step_X,
             radii=state.radii, mu=state.mu, sigma=state.sigma,
-            lmbda=state.lmbda, z=state.z,
+            lmbda=state.lmbda, z=state.z, cc=cc,
             is_directed=cfg.is_directed, mixture=True)
         acc_X = state.acc_X + acc_new
         X = X - jnp.mean(X, axis=(0, 1))
-        dist = pairwise_distances(X)
+        dist = None if use_cc else pairwise_distances(X)
 
         # intercept + radii
         if cfg.is_directed:
             intercept, acc_i = sample_intercepts_directed(
                 keys[1], Y, dist, state.intercept, state.radii,
-                state.step_int, intercept_prior, cfg.intercept_variance_prior)
+                state.step_int, intercept_prior, cfg.intercept_variance_prior,
+                X=X, cc=cc)
         else:
             intercept, acc_i = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
@@ -328,7 +374,8 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
         acc_int = state.acc_int + acc_i
         if cfg.is_directed:
             radii, acc_r = sample_radii(keys[2], Y, dist, intercept,
-                                        state.radii, state.step_radii)
+                                        state.radii, state.step_radii,
+                                        X=X, cc=cc)
             acc_radii = state.acc_radii + acc_r
         else:
             radii, acc_radii = None, None
@@ -379,19 +426,19 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
         logp += _gather_chain_loglik(z, init_weights, w_stack)
         logp += _mixture_common_logp(
             cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
-            mean_var, b_scale, intercept_prior)
+            mean_var, b_scale, intercept_prior, cc=cc)
 
         step_X, acc_X, step_int, acc_int, step_radii, acc_radii = (
             _finish_tuning(cfg, state, acc_X, acc_int, acc_radii))
 
         return state._replace(
-            key=keys[-1], it=it_next, X=X, intercept=intercept, radii=radii,
+            key=keys[12], it=it_next, X=X, intercept=intercept, radii=radii,
             Y=Y if cfg.sample_missing else None, z=z, mu=mu, sigma=sigma,
             lmbda=lmbda, init_weights=init_weights,
             trans_weights=trans_weights, mean_var=mean_var, b_scale=b_scale,
             step_X=step_X, acc_X=acc_X, step_int=step_int, acc_int=acc_int,
             step_radii=step_radii, acc_radii=acc_radii, logp=logp,
-            missing_sum=missing_sum)
+            missing_sum=missing_sum, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
 
     return sweep
 
@@ -400,33 +447,43 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
 # HDP-LPCM sweep
 # ---------------------------------------------------------------------------
 
-def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
+def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
+                   cc_static=None):
     """Sticky HDP-LPCM sweep (reference hdp_lpcm.py:823-1069)."""
     intercept_prior = jnp.asarray(intercept_prior)
     K = cfg.n_components
+    use_cc = cc_static is not None
 
     def sweep(state: MixtureState) -> MixtureState:
         it_next = state.it + 1
         Y = state.Y if cfg.sample_missing else Y_fixed
         T = state.X.shape[0]
         n = Y.shape[-1]
-        keys = jax.random.split(state.key, 19)
+        keys = jax.random.split(state.key, 20)
+
+        if use_cc:
+            ctrl_in, ctrl_out = _refresh_controls(cfg, keys[18], state, Y)
+            cc = dict(cc_static, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+        else:
+            ctrl_in = ctrl_out = None
+            cc = None
 
         # latent positions (mixture prior)
         X, acc_new = sample_latent_positions(
             keys[0], Y, state.X, state.intercept, state.step_X,
             radii=state.radii, mu=state.mu, sigma=state.sigma,
-            lmbda=state.lmbda, z=state.z,
+            lmbda=state.lmbda, z=state.z, cc=cc,
             is_directed=cfg.is_directed, mixture=True)
         acc_X = state.acc_X + acc_new
         X = X - jnp.mean(X, axis=(0, 1))
-        dist = pairwise_distances(X)
+        dist = None if use_cc else pairwise_distances(X)
 
         # intercept + radii
         if cfg.is_directed:
             intercept, acc_i = sample_intercepts_directed(
                 keys[1], Y, dist, state.intercept, state.radii,
-                state.step_int, intercept_prior, cfg.intercept_variance_prior)
+                state.step_int, intercept_prior, cfg.intercept_variance_prior,
+                X=X, cc=cc)
         else:
             intercept, acc_i = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
@@ -434,7 +491,8 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
         acc_int = state.acc_int + acc_i
         if cfg.is_directed:
             radii, acc_r = sample_radii(keys[2], Y, dist, intercept,
-                                        state.radii, state.step_radii)
+                                        state.radii, state.step_radii,
+                                        X=X, cc=cc)
             acc_radii = state.acc_radii + acc_r
         else:
             radii, acc_radii = None, None
@@ -510,19 +568,19 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig):
         logp += _gather_chain_loglik(z, w0, weights)
         logp += _mixture_common_logp(
             cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
-            mean_var, b_scale, intercept_prior)
+            mean_var, b_scale, intercept_prior, cc=cc)
 
         step_X, acc_X, step_int, acc_int, step_radii, acc_radii = (
             _finish_tuning(cfg, state, acc_X, acc_int, acc_radii))
 
         return state._replace(
-            key=keys[-1], it=it_next, X=X, intercept=intercept, radii=radii,
+            key=keys[19], it=it_next, X=X, intercept=intercept, radii=radii,
             Y=Y if cfg.sample_missing else None, z=z, mu=mu, sigma=sigma,
             lmbda=lmbda, weights=weights, beta=beta, gamma=gamma,
             alpha_init=alpha_init, alpha=alpha, kappa=kappa,
             mean_var=mean_var, b_scale=b_scale,
             step_X=step_X, acc_X=acc_X, step_int=step_int, acc_int=acc_int,
             step_radii=step_radii, acc_radii=acc_radii, logp=logp,
-            missing_sum=missing_sum)
+            missing_sum=missing_sum, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
 
     return sweep

@@ -55,6 +55,43 @@ def chain_traces_to_numpy(traces, n_chains):
     return out
 
 
+def build_case_control(cfg, Y_dev, Y_host, rng):
+    """Prepare the case-control structures when cfg.n_control is set.
+
+    Returns (cc_static dict of device arrays or None,
+             (ctrl_in, ctrl_out) initial control draws or None).
+    """
+    import jax.numpy as jnp
+    from ..ops.case_control import build_edge_lists, sample_control_nodes
+
+    if cfg.n_control is None:
+        return None, None
+    if not cfg.is_directed:
+        raise ValueError('The case-control likelihood is only supported '
+                         'for directed networks (reference lsm.py:425-427).')
+    if cfg.sample_missing:
+        raise NotImplementedError(
+            'case-control likelihood with missing dyads is not supported')
+
+    lists = build_edge_lists(Y_host)
+    cc_static = {k: jnp.asarray(v) for k, v in lists.items()}
+    import jax
+    ctrl = sample_control_nodes(
+        jax.random.PRNGKey(rng.randint(0, 2 ** 31 - 1)), Y_dev,
+        cfg.n_control)
+    return cc_static, ctrl
+
+
+def resolve_n_control(n_control, n_nodes):
+    """Integer control-set size from an int or node fraction
+    (reference case_control_likelihood.py:40-43)."""
+    if n_control is None:
+        return None
+    if isinstance(n_control, (int, np.integer)):
+        return int(n_control)
+    return int(n_control * n_nodes)
+
+
 def total_iterations(n_iter, tune, burn):
     """Total stored samples = n_iter + tune + burn (reference semantics:
     lsm.py:362-368 folds tune/burn into n_iter)."""

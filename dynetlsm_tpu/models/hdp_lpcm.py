@@ -22,7 +22,8 @@ from ..label_utils import renormalize_weights
 from ..ops.forecast import marginal_forecast
 from ..ops.distances import pairwise_distances
 from .base import (
-    validate_network, to_device_f32, chain_traces_to_numpy, total_iterations)
+    validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
+    build_case_control, resolve_n_control)
 from .mixture_base import MixtureModelMixin, init_from_lsm, resolve_hyperpriors
 
 __all__ = ['DynamicNetworkHDPLPCM']
@@ -177,13 +178,17 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
             alpha_init_rate=float(self.alpha_init_rate),
             alpha_kappa_shape=float(self.alpha_kappa_shape),
             alpha_kappa_rate=float(self.alpha_kappa_rate),
-            tune_radii=True)
+            tune_radii=True,
+            n_control=resolve_n_control(self.n_control, n),
+            n_resample_control=self.n_resample_control)
         self._cfg = cfg
 
         Y_dev = to_device_f32(self.Y_fit_)
         miss_dev = jnp.asarray(miss_mask) if sample_missing else None
+        cc_static, ctrl0 = build_case_control(cfg, Y_dev, self.Y_fit_, rng)
         sweep = make_hdp_sweep(None if sample_missing else Y_dev, miss_dev,
-                               intercept_prior.astype(DTYPE), cfg)
+                               intercept_prior.astype(DTYPE), cfg,
+                               cc_static=cc_static)
 
         state0 = MixtureState(
             key=jax.random.PRNGKey(rng.randint(0, 2**31 - 1)),
@@ -214,7 +219,9 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
             acc_radii=(jnp.zeros((), DTYPE) if self.is_directed else None),
             logp=jnp.zeros((), DTYPE),
             missing_sum=(jnp.zeros((T, n, n), DTYPE) if sample_missing
-                         else None))
+                         else None),
+            ctrl_in=ctrl0[0] if ctrl0 else None,
+            ctrl_out=ctrl0[1] if ctrl0 else None)
 
         state = replicate_state(state0, self.n_chains,
                                 jax.random.PRNGKey(rng.randint(0, 2**31 - 1)))

@@ -20,7 +20,8 @@ from ..model_selection.posterior_vi import minimize_posterior_expected_vi
 from ..ops.distances import pairwise_distances
 from ..ops.forecast import marginal_forecast
 from .base import (
-    validate_network, to_device_f32, chain_traces_to_numpy, total_iterations)
+    validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
+    build_case_control, resolve_n_control)
 from .mixture_base import MixtureModelMixin, init_from_lsm, resolve_hyperpriors
 
 __all__ = ['DynamicNetworkLPCM']
@@ -146,7 +147,9 @@ class DynamicNetworkLPCM(MixtureModelMixin):
             lambda_variance_prior=float(self.lambda_variance_prior),
             a0=self.a0_, b0=self.b0_, c0=self.c0_, d0=self.d0_,
             dirichlet_prior=float(self.dirichlet_prior_),
-            tune_radii=True)
+            tune_radii=True,
+            n_control=resolve_n_control(self.n_control, n),
+            n_resample_control=self.n_resample_control)
         self._cfg = cfg
 
         Y_dev = to_device_f32(self.Y_fit_)
@@ -180,7 +183,9 @@ class DynamicNetworkLPCM(MixtureModelMixin):
             acc_radii=(jnp.zeros((), DTYPE) if self.is_directed else None),
             logp=jnp.zeros((), DTYPE),
             missing_sum=(jnp.zeros((T, n, n), DTYPE) if sample_missing
-                         else None))
+                         else None),
+            ctrl_in=ctrl0[0] if ctrl0 else None,
+            ctrl_out=ctrl0[1] if ctrl0 else None)
 
         state = replicate_state(state0, self.n_chains,
                                 jax.random.PRNGKey(rng.randint(0, 2**31 - 1)))

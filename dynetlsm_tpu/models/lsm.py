@@ -31,7 +31,8 @@ from ..ops.distances import pairwise_distances
 from ..ops.likelihoods import (
     undirected_network_probas, directed_network_probas)
 from .base import (
-    validate_network, to_device_f32, chain_traces_to_numpy, total_iterations)
+    validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
+    build_case_control, resolve_n_control)
 
 __all__ = ['DynamicNetworkLSM']
 
@@ -172,13 +173,18 @@ class DynamicNetworkLSM:
             tau_sq=float(tau_sq),
             sigma_sq=float(self.sigma_sq),
             intercept_variance_prior=float(self.intercept_variance_prior),
-            tune_radii=False)
+            tune_radii=False,
+            n_control=resolve_n_control(self.n_control, n),
+            n_resample_control=self.n_resample_control)
         self._cfg = cfg
 
         Y_dev = to_device_f32(self.Y_fit_)
         miss_dev = jnp.asarray(miss_mask) if sample_missing else None
+        cc_static, ctrl0 = build_case_control(
+            cfg, Y_dev, self.Y_fit_, rng)
         sweep = make_lsm_sweep(None if sample_missing else Y_dev,
-                               miss_dev, intercept_prior.astype(DTYPE), cfg)
+                               miss_dev, intercept_prior.astype(DTYPE), cfg,
+                               cc_static=cc_static)
 
         # ---- initial state
         X0 = to_device_f32(X)
@@ -203,7 +209,9 @@ class DynamicNetworkLSM:
             logp=logp0, logp_map=logp0, X_map=X0, intercept_map=b0,
             radii_map=r0, logp_ref=logp0, X_ref=X0,
             missing_sum=(jnp.zeros((T, n, n), DTYPE) if sample_missing
-                         else None))
+                         else None),
+            ctrl_in=ctrl0[0] if ctrl0 else None,
+            ctrl_out=ctrl0[1] if ctrl0 else None)
 
         # ---- chains + mesh
         state = replicate_state(state0, self.n_chains,
