@@ -6,6 +6,8 @@ the posterior traces.  Chains are embarrassingly parallel: the chain axis is
 vmapped and sharded across TPU devices over a 1-D ``chains`` mesh — no
 collectives are needed in the sweep body (SURVEY.md §5.8).
 """
+import os
+
 import numpy as np
 
 import jax
@@ -77,22 +79,63 @@ def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
     return jax.jit(run, donate_argnums=(0,) if donate else ())
 
 
-def collect_traces(runner, state, n_samples, chunk=512, progress=None):
+def collect_traces(runner, state, n_samples, chunk=512, progress=None,
+                   checkpoint_dir=None):
     """Run ``n_samples`` recorded iterations in device chunks, off-loading
     each chunk's traces to host memory (replaces the reference's fully
     preallocated host trace arrays, hdp_lpcm.py:88-131).
 
+    With ``checkpoint_dir`` the sampler state and every trace chunk are
+    persisted after each chunk, and an interrupted run resumes from the
+    last completed chunk (the reference has no checkpointing at all,
+    SURVEY.md §5.3-5.4).
+
     Returns (final_state, traces) where traces is a pytree of NumPy arrays
     with the sample axis leading.
     """
+    from ..checkpoint import (
+        save_state, load_state, save_traces_chunk, load_traces_chunks,
+        read_meta, write_meta)
+
     chunks = []
-    remaining = n_samples
-    while remaining > 0:
-        step_n = min(chunk, remaining)
+    done = 0
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        meta = read_meta(checkpoint_dir)
+        if meta is not None and meta.get('n_samples') == n_samples \
+                and meta.get('chunk') == chunk and meta['n_done'] > 0:
+            state = load_state(os.path.join(checkpoint_dir, 'state.npz'),
+                               state)
+            # a chunk template: run zero iterations to get trace shapes
+            _, tmpl = runner(jax.tree.map(jnp.asarray, state), 0)
+            tmpl = jax.tree.map(np.asarray, tmpl)
+            chunks = load_traces_chunks(checkpoint_dir, tmpl)
+            done = meta['n_done']
+            state = jax.tree.map(jnp.asarray, state)
+
+    while done < n_samples:
+        step_n = min(chunk, n_samples - done)
         state, ys = runner(state, step_n)
-        chunks.append(jax.tree.map(lambda y: np.asarray(y)[:step_n], ys))
-        remaining -= step_n
+        host_chunk = jax.tree.map(lambda y: np.asarray(y), ys)
+        if checkpoint_dir is not None:
+            save_traces_chunk(checkpoint_dir, len(chunks), host_chunk)
+            save_state(os.path.join(checkpoint_dir, 'state.npz'), state)
+        chunks.append(host_chunk)
+        done += step_n
+        if checkpoint_dir is not None:
+            write_meta(checkpoint_dir,
+                       {'n_done': done, 'n_samples': n_samples,
+                        'chunk': chunk})
         if progress is not None:
-            progress(n_samples - remaining, n_samples)
-    traces = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
+            progress(done, n_samples)
+
+    # trim each chunk to the samples it actually holds
+    sizes = []
+    remaining = n_samples
+    for _ in chunks:
+        sizes.append(min(chunk, remaining))
+        remaining -= sizes[-1]
+    trimmed = [jax.tree.map(lambda y, s=s: y[:s], c)
+               for c, s in zip(chunks, sizes)]
+    traces = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *trimmed)
     return state, traces

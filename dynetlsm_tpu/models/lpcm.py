@@ -57,7 +57,8 @@ class DynamicNetworkLPCM(MixtureModelMixin):
                  random_state=None,
                  n_chains=1,
                  devices=None,
-                 trace_chunk=512):
+                 trace_chunk=512,
+                 checkpoint_dir=None):
         self.n_iter = n_iter
         self.is_directed = is_directed
         self.selection_type = selection_type
@@ -87,6 +88,7 @@ class DynamicNetworkLPCM(MixtureModelMixin):
         self.n_chains = n_chains
         self.devices = devices
         self.trace_chunk = trace_chunk
+        self.checkpoint_dir = checkpoint_dir
 
     # ------------------------------------------------------------------ fit
 
@@ -214,7 +216,8 @@ class DynamicNetworkLPCM(MixtureModelMixin):
         n_total = total_iterations(self.n_iter, self.tune, self.burn)
         n_samples = (n_total - 1) // thin
         state, traces = collect_traces(runner, state, n_samples,
-                                       chunk=self.trace_chunk)
+                                       chunk=self.trace_chunk,
+                                       checkpoint_dir=self.checkpoint_dir)
         self._final_state = jax.tree.map(np.asarray, state)
 
         tr = chain_traces_to_numpy(traces, self.n_chains)

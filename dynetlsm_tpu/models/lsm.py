@@ -58,7 +58,8 @@ class DynamicNetworkLSM:
                  random_state=None,
                  n_chains=1,
                  devices=None,
-                 trace_chunk=512):
+                 trace_chunk=512,
+                 checkpoint_dir=None):
         self.n_iter = n_iter
         self.is_directed = is_directed
         self.n_features = n_features
@@ -79,6 +80,7 @@ class DynamicNetworkLSM:
         self.n_chains = n_chains
         self.devices = devices
         self.trace_chunk = trace_chunk
+        self.checkpoint_dir = checkpoint_dir
 
     # ------------------------------------------------------------------ api
 
@@ -236,7 +238,8 @@ class DynamicNetworkLSM:
         runner = make_scan_runner(sweep, trace_fn, chunk=self.trace_chunk)
         n_total = total_iterations(self.n_iter, self.tune, self.burn)
         state, traces = collect_traces(runner, state, n_total - 1,
-                                       chunk=self.trace_chunk)
+                                       chunk=self.trace_chunk,
+                                       checkpoint_dir=self.checkpoint_dir)
         self._final_state = jax.tree.map(np.asarray, state)
 
         # ---- assemble reference-style traces (sample 0 = the init draw)
