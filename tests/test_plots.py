@@ -1,0 +1,76 @@
+"""Smoke tests of the plotting layer (Agg backend, no display)."""
+import matplotlib
+matplotlib.use('Agg')
+
+import numpy as np
+import matplotlib.pyplot as plt
+import pytest
+
+from dynetlsm_tpu import DynamicNetworkLSM, DynamicNetworkLPCM
+from dynetlsm_tpu.datasets import synthetic_static_community_dynamic_network
+from dynetlsm_tpu import plots
+
+
+@pytest.fixture(scope='module')
+def fitted_models():
+    Y, X, z, intercept, probas, _ = \
+        synthetic_static_community_dynamic_network(
+            n_nodes=25, n_time_steps=2, n_groups=3,
+            simulation_type='easy', random_state=42)
+    lsm = DynamicNetworkLSM(n_iter=30, tune=30, burn=30,
+                            random_state=1).fit(Y)
+    lpcm = DynamicNetworkLPCM(n_iter=30, tune=30, burn=30, n_components=3,
+                              random_state=1).fit(Y)
+    return Y, z, lsm, lpcm
+
+
+def test_plot_traces(fitted_models):
+    _, _, lsm, lpcm = fitted_models
+    fig, _ = plots.plot_traces(lsm)
+    plt.close(fig)
+    fig, _ = plots.plot_traces(lpcm)
+    plt.close(fig)
+
+
+def test_plot_latent_space(fitted_models):
+    _, _, lsm, lpcm = fitted_models
+    ax = plots.plot_latent_space(lsm, t=0)
+    plt.close(ax.figure)
+    ax = plots.plot_latent_space(lpcm, t=1, node_names=[
+        'n%d' % i for i in range(lpcm.X_.shape[1])])
+    plt.close(ax.figure)
+
+
+def test_matrix_plots(fitted_models):
+    Y, z, _, lpcm = fitted_models
+    fig, _ = plots.plot_adjacency_matrix(Y[0], z[0])
+    plt.close(fig)
+    fig, _ = plots.plot_probability_matrix(lpcm.probas_[0], lpcm.z_[0])
+    plt.close(fig)
+    fig, _ = plots.plot_posterior_cooccurrence(lpcm, t=0)
+    plt.close(fig)
+
+
+def test_transition_and_alluvial(fitted_models):
+    _, z, _, lpcm = fitted_models
+    fig, _ = plots.plot_transition_probabilities(lpcm)
+    plt.close(fig)
+    ax = plots.alluvial_plot(z)
+    plt.close(ax.figure)
+    ax = plots.alluvial_plot(lpcm.zs_[-50:][::25].reshape(2, -1)[
+        :, :lpcm.z_.shape[1]])
+    plt.close(ax.figure)
+
+
+def test_posterior_counts_hdp():
+    from dynetlsm_tpu import DynamicNetworkHDPLPCM
+    Y, X, z, intercept, probas, _ = \
+        synthetic_static_community_dynamic_network(
+            n_nodes=20, n_time_steps=2, n_groups=2,
+            simulation_type='easy', random_state=5)
+    m = DynamicNetworkHDPLPCM(n_iter=30, tune=30, burn=30, n_components=5,
+                              random_state=2).fit(Y)
+    fig, _ = plots.plot_posterior_counts(m, t=0)
+    plt.close(fig)
+    fig, _ = plots.plot_traces(m)
+    plt.close(fig)
