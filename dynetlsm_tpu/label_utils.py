@@ -47,15 +47,14 @@ def calculate_cooccurrence_matrix(z, n_groups=None):
 def calculate_posterior_cooccurrence(zs, n_burn=0, t=0, n_groups=None):
     """Mean co-clustering probability over post-burn samples at time t.
 
-    zs : (n_samples, T, n) label traces.
-    Vectorised: one-hot encode then a single (S, n, K) x (S, n, K) einsum.
+    zs : (n_samples, T, n) label traces.  Uses the native group-bucketed
+    accumulator (dynetlsm_tpu.native) with a one-hot einsum fallback.
     """
+    from .native import cooccurrence as native_cooccurrence
     z = np.asarray(zs)[n_burn:, t]                    # (S, n)
     if n_groups is None:
         n_groups = int(z.max()) + 1
-    onehot = np.eye(n_groups, dtype=np.float32)[z]    # (S, n, K)
-    co = np.einsum('sik,sjk->ij', onehot, onehot)
-    return co / z.shape[0]
+    return native_cooccurrence(z, n_groups)
 
 
 def cluster_posterior_coocurrence(cooccurrence_proba, threshold=0.5):
@@ -68,25 +67,18 @@ def cluster_posterior_coocurrence(cooccurrence_proba, threshold=0.5):
 
 def calculate_cluster_counts(zs, n_burn=0):
     """Number of occupied clusters per post-burn sample
-    (reference approx_bic.py:42-53)."""
+    (reference approx_bic.py:42-53); native fast path."""
+    from .native import cluster_counts as native_counts
     z = np.asarray(zs)[n_burn:]
-    S = z.shape[0]
-    counts = np.zeros(S, dtype=np.int64)
-    for i in range(S):
-        counts[i] = np.unique(z[i].ravel()).shape[0]
-    return counts
+    return native_counts(z, int(z.max()) + 1).astype(np.int64)
 
 
 def calculate_cluster_counts_t(zs, n_burn=0):
     """Occupied-cluster counts per (time, sample)
-    (reference approx_bic.py:27-39)."""
+    (reference approx_bic.py:27-39); native fast path."""
+    from .native import cluster_counts_t as native_counts_t
     z = np.asarray(zs)[n_burn:]
-    S, T, _ = z.shape
-    counts = np.zeros((T, S), dtype=np.int64)
-    for t in range(T):
-        for i in range(S):
-            counts[t, i] = np.unique(z[i, t]).shape[0]
-    return counts
+    return native_counts_t(z, int(z.max()) + 1).astype(np.int64)
 
 
 def calculate_posterior_group_counts(zs, n_burn=0, t=0):

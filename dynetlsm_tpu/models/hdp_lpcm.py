@@ -259,9 +259,9 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
 
         tr = chain_traces_to_numpy(traces, self.n_chains)
 
-        def with_init(name, init_val):
-            arr = tr[name].astype(np.float64)
-            init_val = np.asarray(init_val, np.float64)
+        def with_init(name, init_val, dtype=np.float64):
+            arr = tr[name].astype(dtype, copy=False)
+            init_val = np.asarray(init_val, dtype)
             if self.n_chains == 1:
                 return np.concatenate([init_val[None], arr])
             c = self.n_chains
@@ -273,7 +273,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         self.intercepts_ = with_init('intercept', intercept0)
         self.mus_ = with_init('mu', mu0)
         self.sigmas_ = with_init('sigma', sigma0)
-        self.zs_ = with_init('z', z0).astype(int)
+        self.zs_ = with_init('z', z0, np.int32)
         self.weights_ = with_init('weights', weights0)
         self.betas_ = with_init('beta', beta0)
         self.lambdas_ = with_init('lmbda', np.asarray(lmbda0))
