@@ -96,3 +96,33 @@ def geweke_diag(x, first=0.1, last=0.5, n_burn=None):
     z = geweke_corrected(x, first=first, last=last)
     p = 2 * (1 - stats.norm.cdf(np.abs(z)))
     return z, p
+
+
+def potential_scale_reduction(chains):
+    """Gelman-Rubin split-R-hat over parallel chains.
+
+    New capability enabled by the multi-chain sampler (the single-chain
+    reference has no between-chain diagnostics).  ``chains`` is
+    (n_chains, n_samples); each chain is split in half, and R-hat compares
+    between- to within-half variances.
+    """
+    x = np.asarray(chains, dtype=np.float64)
+    if x.ndim != 2:
+        raise ValueError('chains must be (n_chains, n_samples)')
+    m, n = x.shape
+    half = n // 2
+    splits = np.concatenate([x[:, :half], x[:, half:2 * half]], axis=0)
+    M, N = splits.shape
+    chain_means = splits.mean(axis=1)
+    B = N * np.var(chain_means, ddof=1)
+    W = np.mean(np.var(splits, axis=1, ddof=1))
+    if W == 0:
+        return 1.0
+    var_plus = (N - 1) / N * W + B / N
+    return float(np.sqrt(var_plus / W))
+
+
+def multichain_effective_n(chains, maxlags=100):
+    """Total ESS summed over parallel chains."""
+    x = np.asarray(chains, dtype=np.float64)
+    return float(sum(effective_n(c, maxlags=maxlags) for c in x))
