@@ -56,12 +56,14 @@ def _regime_change_matrix(old_mus, new_mus, sticky_rows=None,
         wt = 1.0 / pairwise_distances(old_mus, new_mus)
     inf = ~np.isfinite(wt)
     wt[inf] = 0.0
-    row_max = wt.max(axis=1)
+    # one exact match per affected row: flat masked assignment walks the
+    # rows in order (reference samples_generator.py:192-195, 999-1002)
+    vals = wt.max(axis=1)
     if sticky_const is not None:
-        row_max = sticky_const * row_max
+        vals = sticky_const * vals
         if sticky_rows is not None:
-            row_max = row_max[sticky_rows]
-    wt[inf] = np.broadcast_to(row_max[:, None], wt.shape)[inf]
+            vals = vals[sticky_rows]
+    wt[inf] = vals[:inf.sum()]
     return wt / wt.sum(axis=1, keepdims=True)
 
 
@@ -107,6 +109,8 @@ def network_from_dynamic_latent_space(X, intercept=1, coef=1, radii=None,
         d_in = 1 - dij / radii[None, None, :]
         d_out = 1 - dij / radii[None, :, None]
         probas = expit(intercept[0] * d_in + intercept[1] * d_out)
+        # no self-loops (reference directed_network_probas zeroes the diag)
+        probas *= 1.0 - np.eye(n)[None]
     else:
         probas = expit(intercept - coef * dij)
 

@@ -432,6 +432,28 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         return expit(float(self.intercept_[0]) - dist)
 
     @property
+    def forecast_probas_plugin_(self):
+        """Posterior-averaged plug-in forecast with active-cluster
+        renormalisation (reference hdp_lpcm.py:511-527)."""
+        from scipy.special import expit
+        flat = {
+            'zs': self._flat_posterior('zs_'),
+            'betas': self._flat_posterior('betas_'),
+            'weights': self._flat_posterior('weights_'),
+            'mus': self._flat_posterior('mus_'),
+            'sigmas': self._flat_posterior('sigmas_'),
+        }
+
+        def renorm(i):
+            z, _, _, trans_w, mu, sigma = self._renormalize_flat(flat, i)
+            return z[-1], trans_w[-1], mu, sigma
+
+        X_hat = self._forecast_xhat(renorm)
+        dist = np.asarray(pairwise_distances(
+            jnp.asarray(X_hat, jnp.float32)))
+        return expit(float(np.ravel(self.intercepts_mean_)[0]) - dist)
+
+    @property
     def forecast_probas_marginalized_(self):
         """Posterior-marginalised forecast with active-cluster
         renormalisation (reference hdp_lpcm.py:530-553)."""

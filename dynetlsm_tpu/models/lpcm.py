@@ -300,6 +300,23 @@ class DynamicNetworkLPCM(MixtureModelMixin):
         return expit(float(self.intercept_[0]) - dist)
 
     @property
+    def forecast_probas_plugin_(self):
+        """Posterior-averaged plug-in forecast (reference lpcm.py:243-258,
+        using each sample's own transition weights)."""
+        from scipy.special import expit
+
+        def renorm(i):
+            z = self._flat_posterior('zs_')[i]
+            return (z[-1], self._flat_posterior('trans_weights_')[i],
+                    self._flat_posterior('mus_')[i],
+                    self._flat_posterior('sigmas_')[i])
+
+        X_hat = self._forecast_xhat(renorm)
+        dist = np.asarray(pairwise_distances(
+            jnp.asarray(X_hat, jnp.float32)))
+        return expit(float(np.ravel(self.intercepts_mean_)[0]) - dist)
+
+    @property
     def forecast_probas_marginalized_(self):
         """Posterior-marginalised forecast (reference lpcm.py:261-283)."""
         def renorm(i):

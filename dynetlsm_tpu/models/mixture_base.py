@@ -211,6 +211,15 @@ class MixtureModelMixin:
             X_hat += contrib.sum(axis=1) / S
         return X_hat
 
+    def _selected_trans_matrix(self):
+        """Last-time transition matrix of the selected model: LPCM stores it
+        as ``trans_weight_`` (K, K); HDP-LPCM as ``trans_weights_``
+        (T, k, k) after renormalisation."""
+        if hasattr(self, 'trans_weight_'):
+            return np.asarray(self.trans_weight_)
+        tw = np.asarray(self.trans_weights_)
+        return tw[-1] if tw.ndim == 3 else tw
+
     def forecast_probas(self, n_samples=5000):
         """Monte-Carlo one-step-ahead probabilities from the selected model
         (reference hdp_lpcm.py:555-587)."""
@@ -220,8 +229,7 @@ class MixtureModelMixin:
         n = self.X_.shape[1]
         mu, sigma = np.asarray(self.mu_), np.asarray(self.sigma_)
         n_groups = mu.shape[0]
-        wt = np.asarray(self.trans_weights_[-1] if np.ndim(self.trans_weights_) == 3
-                        else self.trans_weights_)
+        wt = self._selected_trans_matrix()
         lam = float(np.ravel(self.lambda_)[0])
         z_last = self.z_[-1]
         X_last = self.X_[-1]
