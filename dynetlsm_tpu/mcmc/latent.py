@@ -91,11 +91,81 @@ def _mixture_prior_per_t(xs, x_cur, mu_z, sigma_z, lmbda):
     return back + fwd
 
 
-@partial(jax.jit, static_argnames=('is_directed', 'mixture'))
+def _parallel_site_update(key, Y, X, intercept, step_size, radii, tau_sq,
+                          sigma_sq, mu, sigma, lmbda, z, is_directed,
+                          mixture):
+    """All (t, node) proposals evaluated against the *stale* position field
+    with independent per-site acceptance.
+
+    This is the fully-parallel variant flagged in SURVEY.md §7.1: one fused
+    O(T n^2 d) tensor pass instead of 2n sequential steps, at the cost of a
+    slightly perturbed Markov kernel (each site's acceptance ignores the
+    other sites' concurrent moves).  Opt-in via latent_update='parallel';
+    posterior agreement is validated empirically on Sampson (see tests).
+    """
+    T, n, d = X.shape
+    k_eps, k_u = jax.random.split(key)
+    eps = jax.random.normal(k_eps, (T, n, d), X.dtype)
+    log_u = jnp.log(jax.random.uniform(k_u, (T, n), X.dtype))
+    X_prop = X + step_size[..., None] * eps
+    mask = (1.0 - jnp.eye(n, dtype=X.dtype))[None]           # (1, n, n)
+
+    def site_ll(Xq):
+        """Per-site likelihood terms: row of Bernoulli terms of node j's
+        position Xq[t, j] against the stale field X."""
+        diff = Xq[:, :, None, :] - X[:, None, :, :]
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 0.0))
+        if is_directed:
+            r_self = radii[None, :, None]
+            r_other = radii[None, None, :]
+            eta_out = (intercept[0] * (1.0 - dist / r_other)
+                       + intercept[1] * (1.0 - dist / r_self))
+            eta_in = (intercept[0] * (1.0 - dist / r_self)
+                      + intercept[1] * (1.0 - dist / r_other))
+            ll = Y * eta_out - jax.nn.softplus(eta_out)
+            ll += jnp.swapaxes(Y, -1, -2) * eta_in - jax.nn.softplus(eta_in)
+        else:
+            eta = intercept[0] - dist
+            ll = Y * eta - jax.nn.softplus(eta)
+        return jnp.sum(ll * mask, axis=-1)                   # (T, n)
+
+    def site_prior(Xq):
+        """Per-site prior terms with stale temporal neighbours."""
+        prev = jnp.concatenate([jnp.zeros_like(X[:1]), X[:-1]], axis=0)
+        nxt = jnp.concatenate([X[1:], jnp.zeros_like(X[:1])], axis=0)
+        t_idx = jnp.arange(T)[:, None]
+        if mixture:
+            mu_z = mu[z]                                     # (T, n, d)
+            sig_z = sigma[z]                                 # (T, n)
+            mu_nxt = jnp.concatenate([mu_z[1:], jnp.zeros_like(mu_z[:1])], 0)
+            sig_nxt = jnp.concatenate([sig_z[1:], jnp.ones_like(sig_z[:1])], 0)
+            diff0 = Xq - mu_z
+            difft = Xq - (1.0 - lmbda) * prev - lmbda * mu_z
+            diff = jnp.where((t_idx == 0)[..., None], diff0, difft)
+            back = -0.5 * jnp.sum(diff * diff, -1) / sig_z
+            fdiff = nxt - (1.0 - lmbda) * Xq - lmbda * mu_nxt
+            fwd = -0.5 * jnp.sum(fdiff * fdiff, -1) / sig_nxt
+        else:
+            back0 = -0.5 * jnp.sum(Xq * Xq, -1) / tau_sq
+            backt = -0.5 * jnp.sum((Xq - prev) ** 2, -1) / sigma_sq
+            back = jnp.where(t_idx == 0, back0, backt)
+            fwd = -0.5 * jnp.sum((nxt - Xq) ** 2, -1) / sigma_sq
+        fwd = jnp.where(t_idx == T - 1, 0.0, fwd)
+        return back + fwd
+
+    ratio = (site_ll(X_prop) - site_ll(X)
+             + site_prior(X_prop) - site_prior(X))
+    accept = log_u < ratio
+    X_new = jnp.where(accept[..., None], X_prop, X)
+    return X_new, accept.astype(X.dtype)
+
+
+@partial(jax.jit, static_argnames=('is_directed', 'mixture', 'scheme'))
 def sample_latent_positions(key, Y, X, intercept, step_size, *,
                             radii=None, tau_sq=None, sigma_sq=None,
                             mu=None, sigma=None, lmbda=None, z=None,
-                            cc=None, is_directed=False, mixture=False):
+                            cc=None, is_directed=False, mixture=False,
+                            scheme='exact'):
     """One full sweep of single-site MH updates over all (t, node) sites.
 
     Parameters
@@ -118,6 +188,15 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     X_new : (T, n, d)
     n_accepted : (T, n) float acceptance indicators for this sweep
     """
+    if scheme == 'parallel':
+        if cc is not None:
+            raise NotImplementedError(
+                'parallel latent updates with case-control likelihoods are '
+                'not supported yet')
+        return _parallel_site_update(key, Y, X, intercept, step_size, radii,
+                                     tau_sq, sigma_sq, mu, sigma, lmbda, z,
+                                     is_directed, mixture)
+
     T, n, d = X.shape
     k_eps, k_u = jax.random.split(key)
     eps = jax.random.normal(k_eps, (2, n, T, d), X.dtype)

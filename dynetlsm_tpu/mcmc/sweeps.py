@@ -79,6 +79,10 @@ class SweepConfig:
     # per node and the resampling cadence (reference lsm.py:171-179)
     n_control: Optional[int] = None
     n_resample_control: int = 100
+    # latent-position update kernel: 'exact' sequential node scan (matches
+    # the reference's single-site sampler) or 'parallel' stale-field
+    # per-site acceptance (SURVEY.md §7.1)
+    latent_update: str = 'exact'
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +196,8 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         X, acc_new = sample_latent_positions(
             keys[0], Y, state.X, state.intercept, state.step_X,
             radii=state.radii, tau_sq=cfg.tau_sq, sigma_sq=cfg.sigma_sq,
-            cc=cc, is_directed=cfg.is_directed, mixture=False)
+            cc=cc, is_directed=cfg.is_directed, mixture=False,
+            scheme=cfg.latent_update)
         acc_X = state.acc_X + acc_new
 
         # 2. Procrustes toward the burn-phase MAP (reference lsm.py:495-498)
@@ -356,7 +361,8 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             keys[0], Y, state.X, state.intercept, state.step_X,
             radii=state.radii, mu=state.mu, sigma=state.sigma,
             lmbda=state.lmbda, z=state.z, cc=cc,
-            is_directed=cfg.is_directed, mixture=True)
+            is_directed=cfg.is_directed, mixture=True,
+            scheme=cfg.latent_update)
         acc_X = state.acc_X + acc_new
         X = X - jnp.mean(X, axis=(0, 1))
         dist = None if use_cc else pairwise_distances(X)
@@ -473,7 +479,8 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             keys[0], Y, state.X, state.intercept, state.step_X,
             radii=state.radii, mu=state.mu, sigma=state.sigma,
             lmbda=state.lmbda, z=state.z, cc=cc,
-            is_directed=cfg.is_directed, mixture=True)
+            is_directed=cfg.is_directed, mixture=True,
+            scheme=cfg.latent_update)
         acc_X = state.acc_X + acc_new
         X = X - jnp.mean(X, axis=(0, 1))
         dist = None if use_cc else pairwise_distances(X)

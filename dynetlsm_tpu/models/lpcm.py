@@ -58,7 +58,8 @@ class DynamicNetworkLPCM(MixtureModelMixin):
                  n_chains=1,
                  devices=None,
                  trace_chunk=512,
-                 checkpoint_dir=None):
+                 checkpoint_dir=None,
+                 latent_update='exact'):
         self.n_iter = n_iter
         self.is_directed = is_directed
         self.selection_type = selection_type
@@ -89,6 +90,7 @@ class DynamicNetworkLPCM(MixtureModelMixin):
         self.devices = devices
         self.trace_chunk = trace_chunk
         self.checkpoint_dir = checkpoint_dir
+        self.latent_update = latent_update
 
     # ------------------------------------------------------------------ fit
 
@@ -151,7 +153,8 @@ class DynamicNetworkLPCM(MixtureModelMixin):
             dirichlet_prior=float(self.dirichlet_prior_),
             tune_radii=True,
             n_control=resolve_n_control(self.n_control, n),
-            n_resample_control=self.n_resample_control)
+            n_resample_control=self.n_resample_control,
+            latent_update=self.latent_update)
         self._cfg = cfg
 
         Y_dev = to_device_f32(self.Y_fit_)

@@ -59,7 +59,8 @@ class DynamicNetworkLSM:
                  n_chains=1,
                  devices=None,
                  trace_chunk=512,
-                 checkpoint_dir=None):
+                 checkpoint_dir=None,
+                 latent_update='exact'):
         self.n_iter = n_iter
         self.is_directed = is_directed
         self.n_features = n_features
@@ -81,6 +82,7 @@ class DynamicNetworkLSM:
         self.devices = devices
         self.trace_chunk = trace_chunk
         self.checkpoint_dir = checkpoint_dir
+        self.latent_update = latent_update
 
     # ------------------------------------------------------------------ api
 
@@ -177,7 +179,8 @@ class DynamicNetworkLSM:
             intercept_variance_prior=float(self.intercept_variance_prior),
             tune_radii=False,
             n_control=resolve_n_control(self.n_control, n),
-            n_resample_control=self.n_resample_control)
+            n_resample_control=self.n_resample_control,
+            latent_update=self.latent_update)
         self._cfg = cfg
 
         Y_dev = to_device_f32(self.Y_fit_)
