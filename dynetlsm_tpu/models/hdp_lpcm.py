@@ -70,7 +70,8 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
                  devices=None,
                  trace_chunk=512,
                  checkpoint_dir=None,
-                 latent_update='exact'):
+                 latent_update='exact',
+                 verbose=False):
         self.n_iter = n_iter
         self.is_directed = is_directed
         self.n_features = n_features
@@ -111,6 +112,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         self.trace_chunk = trace_chunk
         self.checkpoint_dir = checkpoint_dir
         self.latent_update = latent_update
+        self.verbose = verbose
 
     # ------------------------------------------------------------------ fit
 
@@ -257,7 +259,8 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         n_samples = (n_total - 1) // thin
         state, traces = collect_traces(runner, state, n_samples,
                                        chunk=self.trace_chunk,
-                                       checkpoint_dir=self.checkpoint_dir)
+                                       checkpoint_dir=self.checkpoint_dir,
+                                       progress=_progress(self.verbose))
         self._final_state = jax.tree.map(np.asarray, state)
 
         tr = chain_traces_to_numpy(traces, self.n_chains)
@@ -493,3 +496,22 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
                 delattr(self, name)
         if self.is_directed and hasattr(self, 'radiis_'):
             del self.radiis_
+
+
+def _progress(verbose):
+    """Chunk-level progress reporter (replaces the reference's tqdm bars,
+    lsm.py:474 / hdp_lpcm.py:823)."""
+    if not verbose:
+        return None
+    import sys
+    import time
+    start = time.time()
+
+    def report(done, total):
+        rate = done / max(time.time() - start, 1e-9)
+        sys.stderr.write('\r[dynetlsm_tpu] %d/%d samples (%.1f/s)'
+                         % (done, total, rate))
+        sys.stderr.flush()
+        if done >= total:
+            sys.stderr.write('\n')
+    return report

@@ -60,7 +60,8 @@ class DynamicNetworkLSM:
                  devices=None,
                  trace_chunk=512,
                  checkpoint_dir=None,
-                 latent_update='exact'):
+                 latent_update='exact',
+                 verbose=False):
         self.n_iter = n_iter
         self.is_directed = is_directed
         self.n_features = n_features
@@ -83,6 +84,7 @@ class DynamicNetworkLSM:
         self.trace_chunk = trace_chunk
         self.checkpoint_dir = checkpoint_dir
         self.latent_update = latent_update
+        self.verbose = verbose
 
     # ------------------------------------------------------------------ api
 
@@ -242,7 +244,8 @@ class DynamicNetworkLSM:
         n_total = total_iterations(self.n_iter, self.tune, self.burn)
         state, traces = collect_traces(runner, state, n_total - 1,
                                        chunk=self.trace_chunk,
-                                       checkpoint_dir=self.checkpoint_dir)
+                                       checkpoint_dir=self.checkpoint_dir,
+                                       progress=_progress(self.verbose))
         self._final_state = jax.tree.map(np.asarray, state)
 
         # ---- assemble reference-style traces (sample 0 = the init draw)
@@ -305,3 +308,22 @@ def SimpleNetworkImputerLocal(Y):
     from ..imputer import SimpleNetworkImputer
     return SimpleNetworkImputer(strategy='random',
                                 missing_value=-1).fit_transform(Y)
+
+
+def _progress(verbose):
+    """Chunk-level progress reporter (replaces the reference's tqdm bars,
+    lsm.py:474 / hdp_lpcm.py:823)."""
+    if not verbose:
+        return None
+    import sys
+    import time
+    start = time.time()
+
+    def report(done, total):
+        rate = done / max(time.time() - start, 1e-9)
+        sys.stderr.write('\r[dynetlsm_tpu] %d/%d samples (%.1f/s)'
+                         % (done, total, rate))
+        sys.stderr.flush()
+        if done >= total:
+            sys.stderr.write('\n')
+    return report

@@ -30,6 +30,38 @@ REF = {
 }
 
 
+REF_HDP = {
+    # reference DynamicNetworkHDPLPCM(n_iter=3000, tune=1000, burn=1000,
+    # n_components=10, random_state=42) on undirected Sampson (NumPy-shim
+    # run): auc 0.8595, 3 selected groups, lambda 0.8497 (sd 0.0855),
+    # intercept 1.4022 (sd 0.2948), occupied-cluster histogram mode at 3
+    'lambda_mean': 0.8497,
+    'lambda_sd': 0.0855,
+    'intercept_mean': 1.4022,
+    'intercept_sd': 0.2948,
+    'mode_clusters': 3,
+}
+
+
+@pytest.mark.slow
+def test_sampson_hdp_posterior_matches_reference():
+    from dynetlsm_tpu import DynamicNetworkHDPLPCM
+    Y, _, _ = load_monks(is_directed=False)
+    model = DynamicNetworkHDPLPCM(n_iter=3000, tune=1000, burn=1000,
+                                  n_components=10, random_state=42).fit(Y)
+    nb = model.n_burn_
+
+    lam = np.ravel(model.lambdas_[nb:])
+    assert abs(lam.mean() - REF_HDP['lambda_mean']) < 3 * REF_HDP['lambda_sd']
+
+    b = model.intercepts_[nb:].mean()
+    assert abs(b - REF_HDP['intercept_mean']) < 3 * REF_HDP['intercept_sd']
+
+    vals, freqs = np.unique(model.counts_, return_counts=True)
+    assert vals[np.argmax(freqs)] == REF_HDP['mode_clusters']
+    assert model.auc_ > 0.75
+
+
 @pytest.mark.slow
 def test_sampson_lsm_posterior_matches_reference():
     Y, _, _ = load_monks(is_directed=False)
