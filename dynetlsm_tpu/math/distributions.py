@@ -104,3 +104,34 @@ def sample_beta(key, a, b):
     ga = jax.random.gamma(key, a)
     gb = jax.random.gamma(jax.random.fold_in(key, 1), b)
     return ga / jnp.clip(ga + gb, SMALL_EPS, None)
+
+
+# ---------------------------------------------------------------------------
+# multivariate t (reference distributions.py:42-69)
+# ---------------------------------------------------------------------------
+
+def multivariate_t_logpdf(x, df, mu0, S):
+    """Log pdf of a multivariate t with scalar (spherical) or full scale.
+
+    S may be a scalar (spherical scale) or a (p, p) matrix.
+    """
+    x = jnp.atleast_1d(x)
+    mu0 = jnp.atleast_1d(mu0)
+    p = x.shape[-1]
+    S = jnp.asarray(S)
+    if S.ndim < 2:
+        rss = jnp.sum((x - mu0) ** 2, axis=-1) / S
+        log_var = p * 0.5 * jnp.log(S)
+    else:
+        L = jnp.linalg.cholesky(S)
+        sol = jax.scipy.linalg.solve_triangular(L, (x - mu0), lower=True)
+        rss = jnp.sum(sol * sol, axis=0)
+        log_var = jnp.sum(jnp.log(jnp.diagonal(L)))
+    return (gammaln((p + df) / 2.0)
+            - gammaln(df / 2.0) - log_var
+            - (p / 2.0) * jnp.log(df * jnp.pi)
+            - 0.5 * (df + p) * jnp.log1p(rss / df))
+
+
+def multivariate_t_pdf(x, df, mu0, S):
+    return jnp.exp(multivariate_t_logpdf(x, df, mu0, S))

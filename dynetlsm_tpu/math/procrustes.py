@@ -31,3 +31,20 @@ def longitudinal_procrustes_rotation(X_ref, X):
     T, n, d = X.shape
     R = procrustes_rotation(X_ref.reshape(T * n, d), X.reshape(T * n, d))
     return X @ R, R
+
+
+def longitudinal_procrustes_transform(Xs, means=None):
+    """Rotate every stored sample (and optionally cluster means) onto the
+    first sample (reference procrustes.py:38-59), vmapped over samples."""
+    import jax
+    X_ref = Xs[0]
+
+    def align(X):
+        T, n, d = X.shape
+        R = procrustes_rotation(X_ref.reshape(T * n, d), X.reshape(T * n, d))
+        return X @ R, R
+
+    rotated, Rs = jax.vmap(align)(Xs)
+    if means is None:
+        return rotated, None
+    return rotated, jnp.einsum('skd,sde->ske', means, Rs)

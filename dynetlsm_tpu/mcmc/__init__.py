@@ -7,7 +7,7 @@ from .coefficients import (
     sample_intercept_undirected, sample_intercepts_directed, sample_radii,
 )
 from .labels import (
-    sample_labels_block, sample_labels_block_lpcm,
+    sample_labels_block, sample_labels_block_lpcm, sample_labels_gibbs,
     latent_marginal_loglikelihood,
 )
 from .hdp import (

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SMALL_EPS
-from ..ops.emissions import emission_likelihoods
+from ..ops.emissions import emission_likelihoods, emission_logliks
 
 
 def _backward_messages(lik, w):
@@ -105,6 +105,37 @@ def sample_labels_block_lpcm(key, X, mu, sigma, lmbda, init_weights,
     lik = emission_likelihoods(X, mu, sigma, lmbda, normalize=True)
     pm = _backward_messages(lik, w)
     z = _forward_sample(key, pm, init_weights, w)
+    n_trans, nk, resp = _label_statistics(z, K)
+    return z, n_trans, nk, resp
+
+
+def sample_labels_gibbs(key, X, mu, sigma, lmbda, w0, w):
+    """Per-site forward label sampling without backward messages
+    (reference sample_labels.py:22-70) — kept for parity/testing; the
+    blocked FFBS samplers are what the fits use.
+
+    w0 : (K,) initial distribution; w : (K, K) time-constant transitions.
+    Returns (z, n_trans, nk, resp).
+    """
+    from ..config import LOG_GUARD
+    T, n, d = X.shape
+    K = sigma.shape[0]
+    loglik = emission_logliks(X, mu, sigma, lmbda)       # (T, n, K)
+    keys = jax.random.split(key, T)
+
+    logits0 = jnp.log(w0 + LOG_GUARD)[None, :] + loglik[0]
+    g0 = jax.random.gumbel(keys[0], (n, K), loglik.dtype)
+    z0 = jnp.argmax(logits0 + g0, axis=-1).astype(jnp.int32)
+
+    def step(z_prev, inputs):
+        t_key, ll_t = inputs
+        logits = jnp.log(w[z_prev] + LOG_GUARD) + ll_t
+        g = jax.random.gumbel(t_key, (n, K), loglik.dtype)
+        z_t = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+        return z_t, z_t
+
+    _, z_rest = jax.lax.scan(step, z0, (keys[1:], loglik[1:]))
+    z = jnp.concatenate([z0[None], z_rest], axis=0)
     n_trans, nk, resp = _label_statistics(z, K)
     return z, n_trans, nk, resp
 
