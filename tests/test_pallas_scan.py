@@ -1,0 +1,60 @@
+"""Fused Pallas node-scan kernel vs the XLA fori_loop implementation.
+
+With an injected proposal stream both must realise the *identical* Markov
+chain (same acceptances, same positions) — the kernel is a scheduling
+change, not an algorithmic one.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dynetlsm_tpu.ops.pallas_scan import _node_scan_with_noise
+from dynetlsm_tpu.mcmc.latent import sample_latent_positions
+
+
+def _setup(rng, T=4, n=30, d=2):
+    X = rng.randn(T, n, d).astype(np.float32)
+    Y = rng.binomial(1, 0.2, (T, n, n)).astype(np.float32)
+    for t in range(T):
+        np.fill_diagonal(Y[t], 0)
+    Y = np.triu(Y, 1) + np.transpose(np.triu(Y, 1), (0, 2, 1))
+    step = np.full((T, n), 0.3, np.float32)
+    eps = rng.randn(2, n, T, d).astype(np.float32)
+    log_u = np.log(rng.rand(2, n, T)).astype(np.float32)
+    return X, Y, step, eps, log_u
+
+
+def test_pallas_scan_bitexact_lsm(rng):
+    X, Y, step, eps, log_u = _setup(rng)
+    X_xla, acc_xla = sample_latent_positions(
+        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X), jnp.ones(1),
+        jnp.asarray(step), tau_sq=2.0, sigma_sq=0.1, mixture=False,
+        noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+    X_pal, acc_pal = _node_scan_with_noise(
+        jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
+        jnp.asarray(eps), jnp.asarray(log_u), tau_sq=2.0, sigma_sq=0.1,
+        mixture=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
+    np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                               atol=1e-6)
+
+
+def test_pallas_scan_bitexact_mixture(rng):
+    X, Y, step, eps, log_u = _setup(rng)
+    T, n, d = X.shape
+    K = 3
+    mu = rng.randn(K, d).astype(np.float32)
+    sig = (rng.rand(K) + 0.3).astype(np.float32)
+    z = rng.randint(0, K, (T, n)).astype(np.int32)
+    kwargs = dict(mu=jnp.asarray(mu), sigma=jnp.asarray(sig),
+                  lmbda=jnp.float32(0.8), z=jnp.asarray(z), mixture=True)
+    X_xla, acc_xla = sample_latent_positions(
+        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X), jnp.ones(1),
+        jnp.asarray(step), noise=(jnp.asarray(eps), jnp.asarray(log_u)),
+        **kwargs)
+    X_pal, acc_pal = _node_scan_with_noise(
+        jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
+        jnp.asarray(eps), jnp.asarray(log_u), interpret=True, **kwargs)
+    np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
+    np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                               atol=1e-6)
