@@ -214,8 +214,8 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     if (scheme == 'exact' and not is_directed and cc is None
             and jax.default_backend() == 'tpu'
             and T * n_pad * n_pad * 4 < 12 * 2 ** 20):
-        from ..ops.pallas_scan import _node_scan_with_noise
-        return _node_scan_with_noise(
+        from ..ops.pallas_scan import node_scan_dispatch
+        return node_scan_dispatch(
             Y, X, intercept[0], step_size, eps, log_u,
             tau_sq=0.0 if mixture else tau_sq,
             sigma_sq=1.0 if mixture else sigma_sq,
