@@ -221,6 +221,20 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
             sigma_sq=1.0 if mixture else sigma_sq,
             mu=mu, sigma=sigma, lmbda=lmbda, z=z, mixture=mixture)
 
+    return xla_exact_scan(Y, X, intercept, step_size, eps, log_u,
+                          radii=radii, tau_sq=tau_sq, sigma_sq=sigma_sq,
+                          mu=mu, sigma=sigma, lmbda=lmbda, z=z, cc=cc,
+                          is_directed=is_directed, mixture=mixture)
+
+
+def xla_exact_scan(Y, X, intercept, step_size, eps, log_u, *,
+                   radii=None, tau_sq=None, sigma_sq=None, mu=None,
+                   sigma=None, lmbda=None, z=None, cc=None,
+                   is_directed=False, mixture=False):
+    """The exact node scan as an XLA ``fori_loop`` with an injected proposal
+    stream (also the reference implementation the Pallas kernel is verified
+    against)."""
+    T, n, d = X.shape
     t_idx = jnp.arange(T)
     partner = jnp.arange(n)
 

@@ -220,10 +220,11 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
     # (positions, noise, prior params, outputs — measured ~0.6 MB per chain
     # at T=10, n_pad=512) must fit in the ~16 MB of VMEM with headroom.
     y_bytes = T * n_pad * n_pad          # int8
-    # measured compiler working set: ~1 MB/chain at T=10, n_pad=512 (inputs
-    # plus several (C, T, d, n) temporaries the scheduler keeps live)
-    per_chain = 4 * T * n_pad * (10 * d + 30)
-    max_c = int(max(1, (13 * 2 ** 20 - y_bytes) // per_chain))
+    # compiler working set per chain, fitted to measured scoped-vmem usage
+    # (~1.0 MB at T=10/n_pad=512, ~0.22 MB at T=3/n_pad=128): a T*n-linear
+    # term for live buffers plus a fixed per-chain scheduling overhead
+    per_chain = 220 * T * n_pad + 160 * 1024
+    max_c = int(max(1, (12 * 2 ** 20 - y_bytes) // per_chain))
     operands = (x_l, step_p, eps_l, u_l, muz, sigz, params)
 
     if C <= max_c:
@@ -308,6 +309,18 @@ def _custom_vmap_scan(mixture):
                 sigma_sq=jnp.broadcast_to(sigma_sq, (C,))[0],
                 mixture=False)
 
+    def xla_chain(Y, X, intercept, step, eps, log_u, *rest):
+        from ..mcmc.latent import xla_exact_scan
+        if mixture:
+            mu, sigma, lmbda, z = rest
+            return xla_exact_scan(Y, X, jnp.reshape(intercept, (1,)), step,
+                                  eps, log_u, mu=mu, sigma=sigma,
+                                  lmbda=lmbda, z=z, mixture=True)
+        tau_sq, sigma_sq = rest
+        return xla_exact_scan(Y, X, jnp.reshape(intercept, (1,)), step,
+                              eps, log_u, tau_sq=tau_sq, sigma_sq=sigma_sq,
+                              mixture=False)
+
     f = jax.custom_batching.custom_vmap(single)
 
     @f.def_vmap
@@ -318,11 +331,19 @@ def _custom_vmap_scan(mixture):
             a if b else jnp.broadcast_to(
                 jnp.asarray(a), (axis_size,) + jnp.shape(jnp.asarray(a)))
             for a, b in zip(args, arg_batched))
+        T, n, d = args[0].shape[1:]
+        n_pad = max(-(-n // 128) * 128, 128)
+        per_chain = 220 * T * n_pad + 160 * 1024
+        max_c = int(max(1, (12 * 2 ** 20 - T * n_pad * n_pad) // per_chain))
         if y_batched:
             # per-chain networks (missing-data Gibbs): no shared-Y kernel,
             # fall back to mapping the single-chain program
             out = jax.lax.map(lambda ops: single(ops[0], *ops[1:]),
                               (Y,) + args)
+        elif n < 256 and axis_size > max_c:
+            # small networks with many chains: XLA vectorises chains inside
+            # each node step, beating sequential lax.map kernel chunks
+            out = jax.vmap(lambda *a: xla_chain(Y, *a))(*args)
         else:
             out = batched(Y, *args)
         return out, (True, True)
