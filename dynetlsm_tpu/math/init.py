@@ -20,7 +20,6 @@ from scipy.optimize import minimize
 from scipy.sparse import csgraph
 from sklearn.cluster import KMeans
 from sklearn.manifold import MDS
-from sklearn.utils import check_random_state
 
 from ..ops.distances import pairwise_distances
 from ..ops.likelihoods import (

@@ -4,7 +4,6 @@ import jax
 
 from ..array_utils import triu_indices_from_3d, nondiag_indices_from_3d
 from ..config import DTYPE
-from ..imputer import SimpleNetworkImputer
 
 
 def validate_network(Y, is_directed, copy=True):

@@ -18,7 +18,6 @@ from ..mcmc.driver import (
     collect_traces)
 from ..model_selection.approx_bic import select_bic
 from ..model_selection.posterior_vi import minimize_posterior_expected_vi
-from ..label_utils import renormalize_weights
 from ..ops.forecast import marginal_forecast
 from ..ops.distances import pairwise_distances
 from .base import (

@@ -13,15 +13,11 @@ import jax.numpy as jnp
 from math import ceil
 
 from ..array_utils import diag_indices_from_3d
-from ..config import DTYPE
-from ..math.init import longitudinal_kmeans
 from ..math.procrustes import longitudinal_procrustes_rotation
 from ..metrics import network_auc
 from ..ops.distances import pairwise_distances
 from ..ops.likelihoods import (
-    undirected_network_probas, directed_network_probas,
-    undirected_loglik_full, directed_loglik_full)
-from ..ops.forecast import marginal_forecast
+    undirected_network_probas, directed_network_probas)
 from ..diagnostics import geweke_diag
 from ..label_utils import (
     calculate_posterior_cooccurrence, calculate_posterior_group_counts)

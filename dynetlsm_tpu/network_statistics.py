@@ -4,7 +4,6 @@ import numpy as np
 from scipy.sparse import csgraph
 from sklearn.preprocessing import LabelEncoder
 
-from .array_utils import nondiag_indices_from
 
 
 def is_dynamic(Y):

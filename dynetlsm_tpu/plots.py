@@ -10,10 +10,8 @@ All functions run on fetched host arrays.
 """
 import numpy as np
 import matplotlib.pyplot as plt
-import networkx as nx
 import scipy.cluster.hierarchy as hc
 
-from matplotlib import gridspec
 from matplotlib.colors import to_hex
 from matplotlib.patches import Ellipse, Rectangle, FancyArrowPatch
 from matplotlib.ticker import MaxNLocator
