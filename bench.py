@@ -68,7 +68,9 @@ def main():
     from dynetlsm_tpu.datasets import load_monks
     from dynetlsm_tpu.mcmc.driver import make_scan_runner
 
-    n_chains = int(os.environ.get('BENCH_CHAINS', '512'))
+    mode = os.environ.get('BENCH_MODE', 'sweeps')
+    n_chains = int(os.environ.get('BENCH_CHAINS',
+                                  '64' if mode == 'ess' else '512'))
     chunk = int(os.environ.get('BENCH_CHUNK', '200'))
 
     Y, _, _ = load_monks(is_directed=False)
@@ -78,6 +80,32 @@ def main():
     # warm up (compile) + one timed-out-of-band chunk
     state, ys = runner(state, chunk)
     jax.block_until_ready(ys)
+
+    if mode == 'ess':
+        # effective samples of the log joint per wall-clock second, summed
+        # over chains (the "ESS/sec" half of the BASELINE.json north-star);
+        # the reference's 17.45 sweeps/s upper-bounds its ESS/s at 17.45.
+        from dynetlsm_tpu.diagnostics import effective_n
+        n_samples = int(os.environ.get('BENCH_ESS_SAMPLES', '2000'))
+        t0 = time.time()
+        logps = []
+        remaining = n_samples
+        while remaining > 0:
+            step_n = min(chunk, remaining)
+            state, ys = runner(state, step_n)
+            logps.append(np.asarray(ys['logp'])[:step_n])
+            remaining -= step_n
+        elapsed = time.time() - t0
+        logps = np.concatenate(logps, axis=0)        # (samples, chains)
+        ess = sum(effective_n(logps[:, c]) for c in range(n_chains))
+        print(json.dumps({
+            'metric': 'hdp_lpcm_logp_ess_per_sec_sampson',
+            'value': round(ess / elapsed, 2),
+            'unit': 'ESS(logp)/s summed over %d chains (T=3, n=18, K=10, '
+                    '1 chip)' % n_chains,
+            'vs_baseline': round(ess / elapsed / BASELINE_SWEEPS_PER_SEC, 2),
+        }))
+        return
 
     n_rounds = 3
     t0 = time.time()
