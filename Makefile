@@ -1,0 +1,19 @@
+# Developer entry points (reference ships a Makefile; CI parity lives in
+# .github/workflows/test.yml)
+.PHONY: test test-all bench bench-ess clean
+
+test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+bench-ess:
+	BENCH_MODE=ess python bench.py
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} +
+	rm -rf .pytest_cache
