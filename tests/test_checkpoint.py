@@ -49,3 +49,21 @@ def test_lsm_checkpoint_resume(tmp_path, monkeypatch):
     np.testing.assert_allclose(resumed.Xs_, full.Xs_, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(resumed.logps_, full.logps_, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_hdp_checkpoint_resume_runs(tmp_path):
+    """Mixture-state checkpointing: a second fit with an existing checkpoint
+    directory resumes and completes with identical trace shapes."""
+    from dynetlsm_tpu import DynamicNetworkHDPLPCM
+    Y, _ = simple_splitting_dynamic_network(n_nodes=14, n_time_steps=2,
+                                            random_state=3)
+    ckpt = str(tmp_path / 'hdp_ckpt')
+    m1 = DynamicNetworkHDPLPCM(n_iter=30, tune=20, burn=20, n_components=4,
+                               random_state=9, trace_chunk=25,
+                               checkpoint_dir=ckpt).fit(Y)
+    # resume from the completed checkpoint: all chunks load from disk
+    m2 = DynamicNetworkHDPLPCM(n_iter=30, tune=20, burn=20, n_components=4,
+                               random_state=9, trace_chunk=25,
+                               checkpoint_dir=ckpt).fit(Y)
+    assert m2.Xs_.shape == m1.Xs_.shape
+    np.testing.assert_allclose(m2.logps_[1:], m1.logps_[1:], rtol=1e-5)
