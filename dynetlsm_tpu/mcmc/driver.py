@@ -21,6 +21,23 @@ def chain_mesh(devices=None):
     return Mesh(devices, ('chains',))
 
 
+def auto_mesh(n_chains, devices=None):
+    """Pick a ``chains`` mesh for ``n_chains`` parallel chains.
+
+    Uses the largest device subset that evenly divides ``n_chains`` — so 4
+    chains on an 8-device host run on a 4-device mesh rather than silently
+    falling back to one device.  Returns ``None`` when a single device (or a
+    single chain) is the right answer.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    use = min(n_chains, len(devices))
+    while use > 1 and n_chains % use:
+        use -= 1
+    if use <= 1:
+        return None
+    return chain_mesh(devices[:use])
+
+
 def shard_state(state, mesh):
     """Place a chain-batched state pytree on the mesh, sharding the leading
     (chains) axis of every leaf."""

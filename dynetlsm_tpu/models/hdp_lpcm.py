@@ -14,7 +14,7 @@ from ..math.init import longitudinal_kmeans
 from ..mcmc.states import MixtureState
 from ..mcmc.sweeps import SweepConfig, make_hdp_sweep
 from ..mcmc.driver import (
-    chain_mesh, shard_state, replicate_state, make_scan_runner,
+    auto_mesh, shard_state, replicate_state, make_scan_runner,
     collect_traces)
 from ..model_selection.approx_bic import select_bic
 from ..model_selection.posterior_vi import minimize_posterior_expected_vi
@@ -231,14 +231,8 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
 
         state = replicate_state(state0, self.n_chains,
                                 jax.random.PRNGKey(rng.randint(0, 2**31 - 1)))
-        mesh = None
-        devices = self.devices
-        if devices is None and len(jax.devices()) > 1 \
-                and self.n_chains % len(jax.devices()) == 0:
-            devices = jax.devices()
-        if devices is not None and len(devices) > 1 \
-                and self.n_chains % len(devices) == 0:
-            mesh = chain_mesh(devices)
+        mesh = auto_mesh(self.n_chains, self.devices)
+        if mesh is not None:
             state = shard_state(state, mesh)
         self.mesh_ = mesh
 
@@ -260,6 +254,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
                                        chunk=self.trace_chunk,
                                        checkpoint_dir=self.checkpoint_dir,
                                        progress=_progress(self.verbose))
+        self.state_sharding_ = getattr(state.X, 'sharding', None)
         self._final_state = jax.tree.map(np.asarray, state)
 
         tr = chain_traces_to_numpy(traces, self.n_chains)

@@ -24,7 +24,7 @@ from ..math.init import (
 from ..mcmc.states import LSMState
 from ..mcmc.sweeps import SweepConfig, make_lsm_sweep, _lsm_logp
 from ..mcmc.driver import (
-    chain_mesh, shard_state, replicate_state, make_scan_runner,
+    auto_mesh, shard_state, replicate_state, make_scan_runner,
     collect_traces)
 from ..metrics import network_auc
 from ..ops.distances import pairwise_distances
@@ -223,14 +223,8 @@ class DynamicNetworkLSM:
         # ---- chains + mesh
         state = replicate_state(state0, self.n_chains,
                                 jax.random.PRNGKey(rng.randint(0, 2**31 - 1)))
-        mesh = None
-        devices = self.devices
-        if devices is None and len(jax.devices()) > 1 \
-                and self.n_chains % len(jax.devices()) == 0:
-            devices = jax.devices()
-        if devices is not None and self.n_chains % len(devices) == 0 \
-                and len(devices) > 1:
-            mesh = chain_mesh(devices)
+        mesh = auto_mesh(self.n_chains, self.devices)
+        if mesh is not None:
             state = shard_state(state, mesh)
         self.mesh_ = mesh
 
@@ -246,6 +240,7 @@ class DynamicNetworkLSM:
                                        chunk=self.trace_chunk,
                                        checkpoint_dir=self.checkpoint_dir,
                                        progress=_progress(self.verbose))
+        self.state_sharding_ = getattr(state.X, 'sharding', None)
         self._final_state = jax.tree.map(np.asarray, state)
 
         # ---- assemble reference-style traces (sample 0 = the init draw)
