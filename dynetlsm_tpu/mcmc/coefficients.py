@@ -3,11 +3,18 @@
 Mirrors reference sample_coefficients.py:12-121 — random-walk MH for the
 intercept(s) with a normal prior, and Dirichlet-proposal MH for the radii
 simplex — against the full network log-likelihood with cached distances.
+
+Each sampler also returns the network log-likelihood at the *accepted*
+state so the sweep's final log-joint evaluation can reuse it instead of
+re-reading the (T, n, n) tensors (the reference recomputes the full
+likelihood once per MH candidate plus once for the stored logp,
+lsm.py:508-566 — 3-7 dense passes per sweep; here it is 1-3).
 """
 import jax
 import jax.numpy as jnp
 
-from ..ops.likelihoods import undirected_loglik_full, directed_loglik_full
+from ..ops.likelihoods import (
+    undirected_loglik_pair, directed_loglik_full, directed_loglik_pair)
 from ..ops.case_control import approx_directed_loglik_full
 from .metropolis import random_walk_accept, dirichlet_metropolis_step
 
@@ -22,22 +29,32 @@ def _directed_loglik(Y, dist, X, radii, b_in, b_out, cc):
     return directed_loglik_full(Y, dist, radii, b_in, b_out)
 
 
+def _directed_loglik_pair(Y, dist, X, radii, bs_cur, bs_prop, cc):
+    if cc is not None:
+        return (_directed_loglik(Y, dist, X, radii, *bs_cur, cc),
+                _directed_loglik(Y, dist, X, radii, *bs_prop, cc))
+    return directed_loglik_pair(Y, dist, radii, bs_cur, bs_prop)
+
+
 def sample_intercept_undirected(key, Y, dist, intercept, step_size,
                                 prior_mean, prior_var):
     """(reference sample_coefficients.py:77-86)
 
-    intercept : (1,); returns (new_intercept, accepted: (1,))
+    intercept : (1,); returns (new_intercept, accepted: (1,), loglik_new).
     """
     k_eps, k_acc = jax.random.split(key)
     prop = intercept + step_size * jax.random.normal(k_eps, (1,), intercept.dtype)
 
-    def logp(b):
-        ll = undirected_loglik_full(Y, dist, b[0])
-        return ll - (b[0] - prior_mean) ** 2 / (2.0 * prior_var)
+    ll_cur, ll_prop = undirected_loglik_pair(Y, dist, intercept[0], prop[0])
 
-    accept = random_walk_accept(k_acc, logp(prop) - logp(intercept))
+    def logprior(b):
+        return -(b[0] - prior_mean) ** 2 / (2.0 * prior_var)
+
+    accept = random_walk_accept(
+        k_acc, ll_prop + logprior(prop) - ll_cur - logprior(intercept))
     new = jnp.where(accept, prop, intercept)
-    return new, jnp.full((1,), accept.astype(intercept.dtype))
+    ll_new = jnp.where(accept, ll_prop, ll_cur)
+    return new, jnp.full((1,), accept.astype(intercept.dtype)), ll_new
 
 
 def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
@@ -45,38 +62,52 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
     """Sequential MH for (intercept_in, intercept_out)
     (reference sample_coefficients.py:18-75).
 
-    intercept, step_size, prior_mean : (2,).  Returns (new, accepted (2,)).
+    intercept, step_size, prior_mean : (2,).
+    Returns (new, accepted (2,), loglik_new).
     """
     keys = jax.random.split(key, 4)
 
-    def logp(b_in, b_out, prior_idx, b):
-        ll = _directed_loglik(Y, dist, X, radii, b_in, b_out, cc)
-        return ll - (b - prior_mean[prior_idx]) ** 2 / (2.0 * prior_var)
+    def logprior(b, prior_idx):
+        return -(b - prior_mean[prior_idx]) ** 2 / (2.0 * prior_var)
 
-    # intercept_in
+    # intercept_in: both candidates in one fused pass
     prop_in = intercept[0] + step_size[0] * jax.random.normal(keys[0])
-    ratio = (logp(prop_in, intercept[1], 0, prop_in)
-             - logp(intercept[0], intercept[1], 0, intercept[0]))
+    ll_cur, ll_prop = _directed_loglik_pair(
+        Y, dist, X, radii, (intercept[0], intercept[1]),
+        (prop_in, intercept[1]), cc)
+    ratio = (ll_prop + logprior(prop_in, 0)
+             - ll_cur - logprior(intercept[0], 0))
     acc_in = random_walk_accept(keys[1], ratio)
     b_in = jnp.where(acc_in, prop_in, intercept[0])
+    ll_in = jnp.where(acc_in, ll_prop, ll_cur)
 
-    # intercept_out (sees the updated intercept_in)
+    # intercept_out (sees the updated intercept_in; its current-state
+    # likelihood is the accepted value from the previous step)
     prop_out = intercept[1] + step_size[1] * jax.random.normal(keys[2])
-    ratio = (logp(b_in, prop_out, 1, prop_out)
-             - logp(b_in, intercept[1], 1, intercept[1]))
+    ll_prop_out = _directed_loglik(Y, dist, X, radii, b_in, prop_out, cc)
+    ratio = (ll_prop_out + logprior(prop_out, 1)
+             - ll_in - logprior(intercept[1], 1))
     acc_out = random_walk_accept(keys[3], ratio)
     b_out = jnp.where(acc_out, prop_out, intercept[1])
+    ll_new = jnp.where(acc_out, ll_prop_out, ll_in)
 
     new = jnp.stack([b_in, b_out])
     acc = jnp.stack([acc_in, acc_out]).astype(intercept.dtype)
-    return new, acc
+    return new, acc, ll_new
 
 
-def sample_radii(key, Y, dist, intercept, radii, step_size, X=None, cc=None):
+def sample_radii(key, Y, dist, intercept, radii, step_size, X=None, cc=None,
+                 loglik_cur=None):
     """Dirichlet-proposal MH on the radii simplex; the Dirichlet(1) prior is
     constant so only the likelihood enters (reference
-    sample_coefficients.py:91-121)."""
+    sample_coefficients.py:91-121).
+
+    ``loglik_cur`` — the network log-likelihood at the current radii (e.g.
+    returned by the intercept sampler) — skips one dense evaluation.
+    Returns (new_radii, accepted, loglik_new).
+    """
     def logp(r):
         return _directed_loglik(Y, dist, X, r, intercept[0], intercept[1], cc)
 
-    return dirichlet_metropolis_step(key, radii, logp, step_size)
+    return dirichlet_metropolis_step(key, radii, logp, step_size,
+                                     logp_cur=loglik_cur)

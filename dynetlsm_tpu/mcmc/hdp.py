@@ -5,21 +5,33 @@ variables) and sample_concentration.py (Escobar-West updates) with
 fixed-shape masked formulations:
 
 * table counts m[t,j,k] = sum_{i<n_tjk} Bernoulli(p / (p + i)) are computed
-  by padding the arange to n_nodes and masking i < n_tjk — one big
-  (T, K, K, n_max) uniform draw instead of data-dependent loops.
+  by a capped arange: the first ``cap`` Bernoullis are drawn exactly (padded
+  + masked, fixed shapes), and the i >= cap tail — whose success
+  probabilities are all <= p/(p+cap) — is drawn as one Poisson with the
+  exact tail mean p * (digamma(p+c) - digamma(p+cap)).  Le Cam's theorem
+  bounds the total-variation error of the Poisson tail by
+  sum q_i^2 <= p/(p+cap) * mean, i.e. a few percent of an already-small
+  tail count at cap=64.  With ``cap >= n_max`` the sampler is exact and
+  bit-identical to the uncapped masked-arange formulation.  This turns the
+  (T, K, K, n) uniform tensor — ~100M draws/sweep at T=10, n=500, K=25,
+  32 chains — into (T, K, K, cap) + (T, K, K) draws.
 """
 import jax
 import jax.numpy as jnp
+from jax.scipy.special import digamma
 
 from ..config import SMALL_EPS
 from ..math.distributions import sample_beta, sample_gamma
 
 
-def sample_tables(key, n_trans, beta, alpha_init, alpha, kappa, n_max):
+def sample_tables(key, n_trans, beta, alpha_init, alpha, kappa, n_max,
+                  cap=64):
     """CRF table counts (reference sample_auxillary.py:6-28).
 
     n_trans : (T, K, K) transition counts (n_trans[0, 0] = initial counts)
     n_max : static int, max possible count (n_nodes)
+    cap : static int, number of exactly-sampled Bernoulli terms per cell;
+        the remainder is a Poisson tail (see module docstring).
 
     Returns m : (T, K, K) float table counts.
     """
@@ -34,21 +46,36 @@ def sample_tables(key, n_trans, beta, alpha_init, alpha, kappa, n_max):
     # this in the reference)
     p = jnp.clip(p, SMALL_EPS, None)
 
-    i = jnp.arange(n_max, dtype=jnp.float32)             # (n_max,)
-    probs = p[..., None] / (p[..., None] + i)            # (T, K, K, n_max)
-    u = jax.random.uniform(key, probs.shape)
+    L = min(cap, n_max)
+    i = jnp.arange(L, dtype=jnp.float32)                 # (L,)
+    probs = p[..., None] / (p[..., None] + i)            # (T, K, K, L)
+    k_head, k_tail = jax.random.split(key)
+    u = jax.random.uniform(k_head, probs.shape)
     mask = i[None, None, None, :] < n_trans[..., None]
-    return jnp.sum(jnp.where(mask, (u < probs).astype(jnp.float32), 0.0),
-                   axis=-1)
+    m = jnp.sum(jnp.where(mask, (u < probs).astype(jnp.float32), 0.0),
+                axis=-1)
+    if n_max > L:
+        c = n_trans.astype(jnp.float32)
+        tail_len = jnp.maximum(c - L, 0.0)
+        # exact tail mean: sum_{i=L}^{c-1} p/(p+i) = p (psi(p+c) - psi(p+L))
+        tail_mean = jnp.where(tail_len > 0.0,
+                              p * (digamma(p + jnp.maximum(c, L))
+                                   - digamma(p + L)),
+                              0.0)
+        tail = jax.random.poisson(k_tail, tail_mean).astype(jnp.float32)
+        m = m + jnp.clip(tail, 0.0, tail_len)
+    return m
 
 
-def sample_mbar(key, m, beta, kappa, alpha, n_max):
+def sample_mbar(key, m, beta, kappa, alpha, n_max, cap=64):
     """Sticky override variables w and the corrected table counts m_bar
     (reference sample_auxillary.py:31-50).
 
     w[t, j] ~ Binomial(m[t+1, j, j], rho / (rho + beta_j (1 - rho))) is
     drawn as a masked Bernoulli sum over a padded arange (like the table
     counts) — ``jax.random.binomial`` NaNs on batched (n=0, p=1) corners.
+    Counts above ``cap`` (table counts are O(log n), so this is rare) get a
+    rounded-Normal tail: Binomial(c - cap, p) ~ N((c-cap) p, (c-cap) p q).
 
     Returns (m_bar_sum (K,), w (T-1, K)).
     """
@@ -56,11 +83,20 @@ def sample_mbar(key, m, beta, kappa, alpha, n_max):
     rho = kappa / (alpha + kappa)
     p = rho / (rho + beta * (1.0 - rho))                 # (K,)
     diag_m = jnp.einsum('tkk->tk', m[1:])                # (T-1, K)
-    i = jnp.arange(n_max, dtype=jnp.float32)
-    u = jax.random.uniform(key, (T - 1, K, n_max))
+    L = min(cap, n_max)
+    i = jnp.arange(L, dtype=jnp.float32)
+    k_head, k_tail = jax.random.split(key)
+    u = jax.random.uniform(k_head, (T - 1, K, L))
     trial = (u < p[None, :, None]).astype(jnp.float32)
     w = jnp.sum(jnp.where(i[None, None, :] < diag_m[..., None], trial, 0.0),
                 axis=-1)
+    if n_max > L:
+        tail_len = jnp.maximum(diag_m - L, 0.0)          # (T-1, K)
+        mean = tail_len * p[None, :]
+        var = mean * (1.0 - p[None, :])
+        z = jax.random.normal(k_tail, mean.shape)
+        tail = jnp.round(mean + jnp.sqrt(jnp.maximum(var, 0.0)) * z)
+        w = w + jnp.clip(tail, 0.0, tail_len)
     # m_bar[t] = m[t+1] - diag(w[t]); summed over (t, j) plus initial row
     m_bar_sum = jnp.sum(m[1:], axis=(0, 1)) - jnp.sum(w, axis=0) + m[0, 0]
     return m_bar_sum, w

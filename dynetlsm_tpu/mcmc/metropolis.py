@@ -63,19 +63,24 @@ def random_walk_accept(key, logp_diff):
     return jnp.log(u) < logp_diff
 
 
-def dirichlet_metropolis_step(key, x0, logp_fn, step_size):
+def dirichlet_metropolis_step(key, x0, logp_fn, step_size, logp_cur=None):
     """One MH step with a Dirichlet(step_size * x0) proposal
     (reference metropolis.py:57-82).
 
-    ``logp_fn(x)`` must return the target log density.  Returns
-    (x_new, accepted: float scalar).
+    ``logp_fn(x)`` must return the target log density; pass ``logp_cur`` to
+    reuse an already-computed value of ``logp_fn(x0)``.  Returns
+    (x_new, accepted: float scalar, logp_new).
     """
     k_prop, k_acc = jax.random.split(key)
     x = sample_dirichlet(k_prop, step_size * x0)
-    ratio = logp_fn(x) - logp_fn(x0)
+    logp_prop = logp_fn(x)
+    if logp_cur is None:
+        logp_cur = logp_fn(x0)
+    ratio = logp_prop - logp_cur
     # proposal asymmetry correction
     ratio += (dirichlet_logpdf(x0, step_size * x)
               - dirichlet_logpdf(x, step_size * x0))
     accept = random_walk_accept(k_acc, ratio)
     x_new = jnp.where(accept, x, x0)
-    return x_new, accept.astype(x0.dtype)
+    logp_new = jnp.where(accept, logp_prop, logp_cur)
+    return x_new, accept.astype(x0.dtype), logp_new

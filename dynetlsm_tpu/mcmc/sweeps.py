@@ -83,6 +83,9 @@ class SweepConfig:
     # the reference's single-site sampler) or 'parallel' stale-field
     # per-site acceptance (SURVEY.md §7.1)
     latent_update: str = 'exact'
+    # CRF table sampler: number of exactly-drawn Bernoulli terms per cell
+    # before the Poisson tail takes over (mcmc/hdp.py); >= n_nodes is exact
+    table_cap: int = 64
 
 
 # ---------------------------------------------------------------------------
@@ -127,9 +130,12 @@ def _resample_missing(cfg, key, Y, dist, intercept, radii, miss_mask):
     return jnp.where(miss_mask, draw, Y)
 
 
-def _lsm_logp(cfg, Y, X, intercept, radii, dist, intercept_prior, cc=None):
-    """Reference lsm.py:576-625."""
-    loglik = _network_loglik(cfg, Y, dist, intercept, radii, X=X, cc=cc)
+def _lsm_logp(cfg, Y, X, intercept, radii, dist, intercept_prior, cc=None,
+              net_ll=None):
+    """Reference lsm.py:576-625.  ``net_ll`` reuses an already-computed
+    network log-likelihood at the current state (one fewer dense pass)."""
+    loglik = (net_ll if net_ll is not None else
+              _network_loglik(cfg, Y, dist, intercept, radii, X=X, cc=cc))
     loglik -= 0.5 * jnp.sum(X[0] * X[0]) / cfg.tau_sq
     if X.shape[0] > 1:
         diff = X[1:] - X[:-1]
@@ -212,21 +218,21 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
 
         # 5. intercept
         if cfg.is_directed:
-            intercept, acc_i = sample_intercepts_directed(
+            intercept, acc_i, net_ll = sample_intercepts_directed(
                 keys[1], Y, dist, state.intercept, state.radii,
                 state.step_int, intercept_prior, cfg.intercept_variance_prior,
                 X=X, cc=cc)
         else:
-            intercept, acc_i = sample_intercept_undirected(
+            intercept, acc_i, net_ll = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
                 intercept_prior[0], cfg.intercept_variance_prior)
         acc_int = state.acc_int + acc_i
 
         # 6. radii (directed)
         if cfg.is_directed:
-            radii, acc_r = sample_radii(keys[2], Y, dist, intercept,
-                                        state.radii, state.step_radii,
-                                        X=X, cc=cc)
+            radii, acc_r, net_ll = sample_radii(keys[2], Y, dist, intercept,
+                                                state.radii, state.step_radii,
+                                                X=X, cc=cc, loglik_cur=net_ll)
             acc_radii = state.acc_radii + acc_r
         else:
             radii, acc_radii = None, None
@@ -234,6 +240,7 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         # 7. missing dyads
         missing_sum = state.missing_sum
         if cfg.sample_missing:
+            net_ll = None  # Y is resampled below; the cached value is stale
             Y = _resample_missing(cfg, keys[3], Y, dist, intercept, radii,
                                   miss_mask)
             missing_sum = missing_sum + jnp.where(
@@ -241,7 +248,7 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
 
         # 8. log joint + MAP tracking (lsm.py:547-566)
         logp = _lsm_logp(cfg, Y, X, intercept, radii, dist, intercept_prior,
-                         cc=cc)
+                         cc=cc, net_ll=net_ll)
         reset = jnp.logical_and(cfg.tune > 0, it_next == cfg.n_burn)
         better = jnp.logical_or(reset, logp > state.logp_map)
         logp_map = jnp.where(better, logp, state.logp_map)
@@ -286,12 +293,15 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
 # ---------------------------------------------------------------------------
 
 def _mixture_common_logp(cfg, Y, X, intercept, radii, dist, z, mu, sigma,
-                         lmbda, mean_var, b_scale, intercept_prior, cc=None):
+                         lmbda, mean_var, b_scale, intercept_prior, cc=None,
+                         net_ll=None):
     """Network + latent + cluster-parameter + hyper-prior terms shared by the
     LPCM and HDP-LPCM log joints (reference lpcm.py:789-855 /
-    hdp_lpcm.py:1213-1278)."""
+    hdp_lpcm.py:1213-1278).  ``net_ll`` reuses an already-computed network
+    log-likelihood at the current state (one fewer dense pass)."""
     n = Y.shape[-1]
-    ll = _network_loglik(cfg, Y, dist, intercept, radii, X=X, cc=cc)
+    ll = (net_ll if net_ll is not None else
+          _network_loglik(cfg, Y, dist, intercept, radii, X=X, cc=cc))
 
     diff = intercept - intercept_prior
     ll -= jnp.sum(0.5 * diff * diff / cfg.intercept_variance_prior)
@@ -369,19 +379,19 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
 
         # intercept + radii
         if cfg.is_directed:
-            intercept, acc_i = sample_intercepts_directed(
+            intercept, acc_i, net_ll = sample_intercepts_directed(
                 keys[1], Y, dist, state.intercept, state.radii,
                 state.step_int, intercept_prior, cfg.intercept_variance_prior,
                 X=X, cc=cc)
         else:
-            intercept, acc_i = sample_intercept_undirected(
+            intercept, acc_i, net_ll = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
                 intercept_prior[0], cfg.intercept_variance_prior)
         acc_int = state.acc_int + acc_i
         if cfg.is_directed:
-            radii, acc_r = sample_radii(keys[2], Y, dist, intercept,
-                                        state.radii, state.step_radii,
-                                        X=X, cc=cc)
+            radii, acc_r, net_ll = sample_radii(keys[2], Y, dist, intercept,
+                                                state.radii, state.step_radii,
+                                                X=X, cc=cc, loglik_cur=net_ll)
             acc_radii = state.acc_radii + acc_r
         else:
             radii, acc_radii = None, None
@@ -418,6 +428,7 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         # missing dyads
         missing_sum = state.missing_sum
         if cfg.sample_missing:
+            net_ll = None  # Y is resampled below; the cached value is stale
             Y = _resample_missing(cfg, keys[11], Y, dist, intercept, radii,
                                   miss_mask)
             missing_sum = missing_sum + jnp.where(
@@ -432,7 +443,7 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         logp += _gather_chain_loglik(z, init_weights, w_stack)
         logp += _mixture_common_logp(
             cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
-            mean_var, b_scale, intercept_prior, cc=cc)
+            mean_var, b_scale, intercept_prior, cc=cc, net_ll=net_ll)
 
         step_X, acc_X, step_int, acc_int, step_radii, acc_radii = (
             _finish_tuning(cfg, state, acc_X, acc_int, acc_radii))
@@ -487,19 +498,19 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
 
         # intercept + radii
         if cfg.is_directed:
-            intercept, acc_i = sample_intercepts_directed(
+            intercept, acc_i, net_ll = sample_intercepts_directed(
                 keys[1], Y, dist, state.intercept, state.radii,
                 state.step_int, intercept_prior, cfg.intercept_variance_prior,
                 X=X, cc=cc)
         else:
-            intercept, acc_i = sample_intercept_undirected(
+            intercept, acc_i, net_ll = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
                 intercept_prior[0], cfg.intercept_variance_prior)
         acc_int = state.acc_int + acc_i
         if cfg.is_directed:
-            radii, acc_r = sample_radii(keys[2], Y, dist, intercept,
-                                        state.radii, state.step_radii,
-                                        X=X, cc=cc)
+            radii, acc_r, net_ll = sample_radii(keys[2], Y, dist, intercept,
+                                                state.radii, state.step_radii,
+                                                X=X, cc=cc, loglik_cur=net_ll)
             acc_radii = state.acc_radii + acc_r
         else:
             radii, acc_radii = None, None
@@ -510,9 +521,11 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
 
         # CRF auxiliary variables (hdp_lpcm.py:881-884)
         m = sample_tables(keys[4], n_trans, state.beta, state.alpha_init,
-                          state.alpha, state.kappa, n_max=n)
+                          state.alpha, state.kappa, n_max=n,
+                          cap=cfg.table_cap)
         m_bar, w_override = sample_mbar(keys[5], m, state.beta,
-                                        state.kappa, state.alpha, n_max=n)
+                                        state.kappa, state.alpha, n_max=n,
+                                        cap=cfg.table_cap)
 
         # global stick weights beta (hdp_lpcm.py:887)
         beta = sample_dirichlet(keys[6], (state.gamma / K) + m_bar)
@@ -561,6 +574,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         # missing dyads
         missing_sum = state.missing_sum
         if cfg.sample_missing:
+            net_ll = None  # Y is resampled below; the cached value is stale
             Y = _resample_missing(cfg, keys[17], Y, dist, intercept, radii,
                                   miss_mask)
             missing_sum = missing_sum + jnp.where(
@@ -575,7 +589,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         logp += _gather_chain_loglik(z, w0, weights)
         logp += _mixture_common_logp(
             cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
-            mean_var, b_scale, intercept_prior, cc=cc)
+            mean_var, b_scale, intercept_prior, cc=cc, net_ll=net_ll)
 
         step_X, acc_X, step_int, acc_int, step_radii, acc_radii = (
             _finish_tuning(cfg, state, acc_X, acc_int, acc_radii))

@@ -47,6 +47,42 @@ def undirected_loglik_full(Y, dist, intercept):
     return 0.5 * jnp.sum(ll * mask, axis=(-3, -2, -1))
 
 
+def undirected_loglik_pair(Y, dist, b_cur, b_prop):
+    """Both MH candidate log-likelihoods in one fused traversal.
+
+    The intercept MH step needs ``ll(b_cur)`` and ``ll(b_prop)`` against the
+    same cached distances; evaluating them in one function lets XLA fuse the
+    two masked reductions into a single pass over the (T, n, n) tensors —
+    one HBM read instead of two (the dominant cost at large n).
+    """
+    n = Y.shape[-1]
+    mask = _offdiag_mask(n, dist.dtype)
+
+    def one(b):
+        eta = jnp.asarray(b)[..., None, None, None] - dist
+        ll = Y * eta - jax.nn.softplus(eta)
+        return 0.5 * jnp.sum(ll * mask, axis=(-3, -2, -1))
+
+    return one(b_cur), one(b_prop)
+
+
+def directed_loglik_pair(Y, dist, radii, bs_cur, bs_prop):
+    """Directed analogue of :func:`undirected_loglik_pair`: two
+    (intercept_in, intercept_out) candidates sharing the ``d_in``/``d_out``
+    geometry factors and one pass over (T, n, n)."""
+    n = Y.shape[-1]
+    mask = _offdiag_mask(n, dist.dtype)
+    d_in = 1.0 - dist / radii[..., None, :]
+    d_out = 1.0 - dist / radii[..., :, None]
+
+    def one(b_in, b_out):
+        eta = b_in * d_in + b_out * d_out
+        ll = Y * eta - jax.nn.softplus(eta)
+        return jnp.sum(ll * mask, axis=(-3, -2, -1))
+
+    return one(*bs_cur), one(*bs_prop)
+
+
 def undirected_partial_loglik(Y_rows, X, x_new, intercept):
     """Log-likelihood terms involving one node's (possibly proposed) position.
 

@@ -134,3 +134,72 @@ def test_concentration_sampler_moments():
     d = np.asarray(draws)
     assert (d > 0).all()
     assert 0.1 < d.mean() < 10.0
+
+
+def test_sample_tables_capped_matches_exact_distribution():
+    """The capped-arange + Poisson-tail table sampler must match the exact
+    masked-arange formulation in distribution (VERDICT round-1 item 5).
+
+    cap >= n_max is bit-identical to the uncapped sampler; a small cap must
+    reproduce the per-cell mean/std of the exact sampler within Monte-Carlo
+    tolerance at counts far beyond the cap.
+    """
+    rng = np.random.RandomState(0)
+    T, K, n = 2, 3, 400
+    n_trans = np.zeros((T, K, K))
+    n_trans[0, 0] = [7, 0, 350]
+    n_trans[1] = rng.randint(0, n, size=(K, K))
+    beta = rng.dirichlet(np.ones(K) * 2.0)
+    args = (jnp.asarray(n_trans, jnp.float32), jnp.asarray(beta, jnp.float32),
+            1.0, 1.5, 4.0)
+
+    # exactness at cap >= n_max: same key, bit-identical result
+    key = jax.random.PRNGKey(11)
+    exact = sample_tables(key, *args, n_max=n, cap=n)
+    np.testing.assert_array_equal(
+        np.asarray(exact),
+        np.asarray(sample_tables(key, *args, n_max=n, cap=2 * n)))
+
+    n_rep = 600
+    keys = jax.random.split(jax.random.PRNGKey(7), n_rep)
+    draw = jax.vmap(lambda k: sample_tables(k, *args, n_max=n, cap=n))
+    draw_cap = jax.vmap(lambda k: sample_tables(k, *args, n_max=n, cap=32))
+    ms_exact = np.asarray(draw(keys))
+    ms_cap = np.asarray(draw_cap(jax.random.split(jax.random.PRNGKey(8),
+                                                  n_rep)))
+    # bounds hold under the capped sampler too
+    assert (ms_cap <= n_trans[None]).all()
+    assert (ms_cap[:, n_trans > 0] >= 1).all()
+    assert (ms_cap[:, n_trans == 0] == 0).all()
+    # per-cell means agree within combined Monte-Carlo error (~3 sigma)
+    se = np.sqrt(ms_exact.var(0) / n_rep + ms_cap.var(0) / n_rep)
+    diff = np.abs(ms_exact.mean(0) - ms_cap.mean(0))
+    assert (diff <= 4.0 * se + 0.05).all(), (diff, se)
+    # and the spread matches to ~15%
+    big = n_trans > 50
+    np.testing.assert_allclose(ms_cap.std(0)[big], ms_exact.std(0)[big],
+                               rtol=0.2)
+
+
+def test_sample_mbar_capped_tail():
+    """Counts beyond the cap get the rounded-Normal binomial tail and stay
+    within [0, diag_m]."""
+    rng = np.random.RandomState(3)
+    T, K, n = 3, 4, 500
+    m = rng.randint(0, 200, size=(T, K, K)).astype(np.float64)
+    beta = rng.dirichlet(np.ones(K))
+    n_rep = 400
+    keys = jax.random.split(jax.random.PRNGKey(5), n_rep)
+
+    def stats(cap):
+        f = jax.vmap(lambda k: sample_mbar(
+            k, jnp.asarray(m, jnp.float32), jnp.asarray(beta, jnp.float32),
+            4.0, 1.0, n_max=n, cap=cap)[1])
+        return np.asarray(f(keys))
+
+    w_exact, w_cap = stats(n), stats(16)
+    diag_m = np.einsum('tkk->tk', m[1:])
+    assert (w_cap >= 0).all() and (w_cap <= diag_m[None] + 1e-6).all()
+    se = np.sqrt(w_exact.var(0) / n_rep + w_cap.var(0) / n_rep)
+    diff = np.abs(w_exact.mean(0) - w_cap.mean(0))
+    assert (diff <= 4.0 * se + 0.05).all(), (diff, se)
