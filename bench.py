@@ -1,12 +1,19 @@
-"""Headline benchmark: aggregate HDP-LPCM Gibbs-sweep throughput.
+"""Headline benchmarks: HDP-LPCM Gibbs-sweep throughput on one TPU chip.
 
 Baseline (BASELINE.md): the reference's single-core Cython sampler runs
-17.45 sweeps/s on Sampson's monastery (T=3, n=18, K<=10).  This benchmark
-runs the same model configuration on real Sampson data with many vmapped
-chains on one TPU chip and reports aggregate sweeps/s (sweeps x chains / s)
-at steady state, excluding compilation.
+17.45 sweeps/s on Sampson's monastery (T=3, n=18, K<=10).  Two workloads:
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* ``sampson``   — the reference's own headline config (T=3, n=18, K=10) on
+  real Sampson data with many vmapped chains; aggregate sweeps/s.
+* ``northstar`` — the BASELINE.json target scale (T=10, n=500, K=25) with
+  chains sized to the chip; aggregate sweeps/s.
+* ``ess``       — ESS(logp)/s on Sampson: effective posterior samples per
+  wall-clock second summed over chains (mixing-aware throughput; the
+  reference's 17.45 sweeps/s upper-bounds its ESS/s at 17.45).
+
+``BENCH_MODE`` selects one mode or ``all`` (default).  Every measurement is
+printed as its own JSON line as it completes; the FINAL line is the
+headline (north-star) with the other results under ``"extra"``.
 """
 import json
 import os
@@ -17,11 +24,11 @@ import numpy as np
 BASELINE_SWEEPS_PER_SEC = 17.45  # notebooks/Sampson's Monastery.ipynb cell 4
 
 
-def build_state_and_sweep(Y, n_chains, K=10, seed=0):
+def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
+                          table_cap=64):
     import jax
     import jax.numpy as jnp
     from dynetlsm_tpu.config import DTYPE
-    from dynetlsm_tpu.math.init import longitudinal_kmeans, generalized_mds
     from dynetlsm_tpu.mcmc.states import MixtureState
     from dynetlsm_tpu.mcmc.sweeps import SweepConfig, make_hdp_sweep
     from dynetlsm_tpu.mcmc.driver import replicate_state
@@ -30,9 +37,18 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0):
     T, n, _ = Y.shape
     d = 2
 
-    X0 = generalized_mds(Y, n_features=d, random_state=rng)
-    X0 -= X0.mean(axis=(0, 1))
-    mu0, sigma0, z0 = longitudinal_kmeans(X0, n_clusters=K, random_state=rng)
+    if quality_init:
+        from dynetlsm_tpu.math.init import (
+            longitudinal_kmeans, generalized_mds)
+        X0 = generalized_mds(Y, n_features=d, random_state=rng)
+        X0 -= X0.mean(axis=(0, 1))
+        mu0, sigma0, z0 = longitudinal_kmeans(X0, n_clusters=K,
+                                              random_state=rng)
+    else:
+        X0 = rng.randn(T, n, d)
+        mu0 = rng.randn(K, d)
+        sigma0 = np.ones(K)
+        z0 = rng.randint(0, K, size=(T, n))
     weights0 = np.zeros((T, K, K))
     weights0[0, 0] = np.bincount(z0[0], minlength=K) / n
     beta0 = rng.dirichlet(np.full(K, 1.0 / K))
@@ -41,7 +57,7 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0):
             weights0[t, k] = rng.dirichlet(beta0 + 4.0 * np.eye(K)[k])
 
     cfg = SweepConfig(tune=0, tune_interval=100, n_burn=0, n_components=K,
-                      a0=36.0, b0=40.0, c0=5.0, d0=2.0)
+                      a0=36.0, b0=40.0, c0=5.0, d0=2.0, table_cap=table_cap)
     Yd = jnp.asarray(Y, DTYPE)
     sweep = make_hdp_sweep(Yd, None, np.zeros(1, np.float32), cfg)
 
@@ -63,66 +79,124 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0):
     return state, sweep
 
 
-def main():
-    import jax
-    from dynetlsm_tpu.datasets import load_monks
+def northstar_network(T=10, n=500, n_groups=8, seed=3):
+    """Synthetic community network at the BASELINE.json target scale."""
+    rng = np.random.RandomState(seed)
+    z = rng.randint(0, n_groups, size=n)
+    p_in, p_out = 0.1, 0.01
+    same = (z[:, None] == z[None, :])
+    P = np.where(same, p_in, p_out)
+    Y = np.zeros((T, n, n), np.float32)
+    for t in range(T):
+        upper = (rng.uniform(size=(n, n)) < P).astype(np.float32)
+        upper = np.triu(upper, 1)
+        Y[t] = upper + upper.T
+    return Y
+
+
+def measure_sweeps(state, sweep, n_chains, chunk, n_rounds=3):
     from dynetlsm_tpu.mcmc.driver import make_scan_runner
-
-    mode = os.environ.get('BENCH_MODE', 'sweeps')
-    n_chains = int(os.environ.get('BENCH_CHAINS',
-                                  '64' if mode == 'ess' else '512'))
-    chunk = int(os.environ.get('BENCH_CHUNK', '200'))
-
-    Y, _, _ = load_monks(is_directed=False)
-    state, sweep = build_state_and_sweep(Y, n_chains)
     runner = make_scan_runner(sweep, lambda s: {'logp': s.logp}, chunk=chunk)
-
-    # warm up (compile) + one timed-out-of-band chunk
-    state, ys = runner(state, chunk)
-    jax.block_until_ready(ys)
-
-    if mode == 'ess':
-        # effective samples of the log joint per wall-clock second, summed
-        # over chains (the "ESS/sec" half of the BASELINE.json north-star);
-        # the reference's 17.45 sweeps/s upper-bounds its ESS/s at 17.45.
-        from dynetlsm_tpu.diagnostics import effective_n
-        n_samples = int(os.environ.get('BENCH_ESS_SAMPLES', '2000'))
-        t0 = time.time()
-        logps = []
-        remaining = n_samples
-        while remaining > 0:
-            step_n = min(chunk, remaining)
-            state, ys = runner(state, step_n)
-            logps.append(np.asarray(ys['logp'])[:step_n])
-            remaining -= step_n
-        elapsed = time.time() - t0
-        logps = np.concatenate(logps, axis=0)        # (samples, chains)
-        ess = sum(effective_n(logps[:, c]) for c in range(n_chains))
-        print(json.dumps({
-            'metric': 'hdp_lpcm_logp_ess_per_sec_sampson',
-            'value': round(ess / elapsed, 2),
-            'unit': 'ESS(logp)/s summed over %d chains (T=3, n=18, K=10, '
-                    '1 chip)' % n_chains,
-            'vs_baseline': round(ess / elapsed / BASELINE_SWEEPS_PER_SEC, 2),
-        }))
-        return
-
-    n_rounds = 3
+    state, ys = runner(state, chunk)           # compile + warm
+    np.asarray(ys['logp'])                     # host fetch: real barrier
     t0 = time.time()
     for _ in range(n_rounds):
         state, ys = runner(state, chunk)
-    jax.block_until_ready(ys)
+    np.asarray(ys['logp'])
     elapsed = time.time() - t0
+    return n_rounds * chunk * n_chains / elapsed
 
-    total_sweeps = n_rounds * chunk * n_chains
-    value = total_sweeps / elapsed
-    print(json.dumps({
+
+def measure_ess(state, sweep, n_chains, chunk, n_samples):
+    import jax
+    from dynetlsm_tpu.mcmc.driver import make_scan_runner
+    from dynetlsm_tpu.diagnostics import effective_n
+    runner = make_scan_runner(sweep, lambda s: {'logp': s.logp}, chunk=chunk)
+    state, ys = runner(state, chunk)           # compile + reach steady state
+    jax.block_until_ready(ys)
+    t0 = time.time()
+    logps = []
+    remaining = n_samples
+    while remaining > 0:
+        step_n = min(chunk, remaining)
+        state, ys = runner(state, step_n)
+        logps.append(np.asarray(ys['logp'])[:step_n])
+        remaining -= step_n
+    elapsed = time.time() - t0
+    logps = np.concatenate(logps, axis=0)      # (samples, chains)
+    ess = sum(effective_n(logps[:, c]) for c in range(n_chains))
+    return ess / elapsed
+
+
+def emit(record):
+    print(json.dumps(record), flush=True)
+    return record
+
+
+def run_sampson(chunk):
+    from dynetlsm_tpu.datasets import load_monks
+    n_chains = int(os.environ.get('BENCH_CHAINS', '512'))
+    Y, _, _ = load_monks(is_directed=False)
+    state, sweep = build_state_and_sweep(Y, n_chains)
+    value = measure_sweeps(state, sweep, n_chains, chunk)
+    return emit({
         'metric': 'hdp_lpcm_aggregate_sweeps_per_sec_sampson',
         'value': round(value, 2),
         'unit': 'sweeps/s x chains (T=3, n=18, K=10, %d chains, 1 chip)'
                 % n_chains,
-        'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2),
-    }))
+        'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2)})
+
+
+def run_northstar(chunk):
+    n_chains = int(os.environ.get('BENCH_NS_CHAINS', '32'))
+    Y = northstar_network()
+    state, sweep = build_state_and_sweep(Y, n_chains, K=25,
+                                         quality_init=False)
+    value = measure_sweeps(state, sweep, n_chains, chunk, n_rounds=2)
+    return emit({
+        'metric': 'hdp_lpcm_aggregate_sweeps_per_sec_northstar',
+        'value': round(value, 2),
+        'unit': 'sweeps/s x chains (T=10, n=500, K=25, %d chains, 1 chip)'
+                % n_chains,
+        'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2)})
+
+
+def run_ess(chunk):
+    from dynetlsm_tpu.datasets import load_monks
+    n_chains = int(os.environ.get('BENCH_ESS_CHAINS', '64'))
+    n_samples = int(os.environ.get('BENCH_ESS_SAMPLES', '2000'))
+    Y, _, _ = load_monks(is_directed=False)
+    state, sweep = build_state_and_sweep(Y, n_chains)
+    value = measure_ess(state, sweep, n_chains, chunk, n_samples)
+    return emit({
+        'metric': 'hdp_lpcm_logp_ess_per_sec_sampson',
+        'value': round(value, 2),
+        'unit': 'ESS(logp)/s summed over %d chains (T=3, n=18, K=10, 1 chip)'
+                % n_chains,
+        'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2)})
+
+
+def main():
+    mode = os.environ.get('BENCH_MODE', 'all')
+    chunk = int(os.environ.get('BENCH_CHUNK', '200'))
+
+    if mode == 'sweeps':
+        run_sampson(chunk)
+        return
+    if mode == 'northstar':
+        run_northstar(chunk)
+        return
+    if mode == 'ess':
+        run_ess(chunk)
+        return
+
+    # mode == 'all': measure everything; the final printed line is the
+    # headline north-star record carrying the other results in "extra"
+    sampson = run_sampson(chunk)
+    ess = run_ess(chunk)
+    ns_chunk = int(os.environ.get('BENCH_NS_CHUNK', '50'))
+    ns = run_northstar(ns_chunk)
+    emit(dict(ns, extra={'sampson_sweeps': sampson, 'sampson_ess': ess}))
 
 
 if __name__ == '__main__':

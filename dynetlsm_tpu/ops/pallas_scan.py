@@ -8,17 +8,26 @@ Pallas program: the position field stays in VMEM across all 2n steps, node
 gathers/scatters are one-hot lane operations, and the only HBM traffic is
 one read of Y and the noise plus one write of the results.
 
-The kernel carries an explicit chain axis (C on sublanes): vmapped Pallas
-grids execute *sequentially* on a TPU core, so batching chains inside the
-kernel is what recovers cross-chain vector parallelism.  Chains beyond the
-VMEM budget are processed in ``lax.map`` chunks.
+The kernel carries an explicit chain axis (C): vmapped Pallas grids execute
+*sequentially* on a TPU core, so batching chains inside the kernel is what
+recovers cross-chain vector parallelism.  Chains beyond the VMEM budget are
+processed in ``lax.map`` chunks.
 
-Layout: node axis on lanes — X as (C, T, d, n); Y shared as (T, n, n);
-noise as (C, 2, T, d, n) / (C, 2, T, n) matching the XLA kernel's proposal
-stream so the two implementations realise the identical Markov chain.
+Layout (round-2 rework): the feature axis d is **unrolled** — every tensor
+is a (C, T, n) tile per feature component with the node axis on lanes and
+time on sublanes, instead of round 1's (C, T, d, n).  With d=2 the old
+layout used 2 of 8 sublanes of every (d, n) tile (25% VPU utilisation) and
+padded each per-chain buffer 4x; (T, n) tiles at T=10 use 10 of 16 rows.
+Adjacency rows are consumed through a per-32-node block load (int8 sublane
+alignment) with *statically unrolled* row slices, replacing the per-step
+(T, 32, n) mask-reduction.  Phase 1 additionally reuses phase 0's accepted
+candidate log-likelihood row instead of recomputing it (identical floats:
+the partner field seen by node j is unchanged between phases).
 
 Undirected likelihood only (the directed social-radii model uses the XLA
-scan).  LSM random-walk and mixture priors both supported.
+scan).  LSM random-walk and mixture priors both supported.  With an
+injected proposal stream the kernel realises the *identical* Markov chain
+as mcmc.latent.xla_exact_scan (bit-exact parity tests).
 """
 import functools
 
@@ -28,142 +37,199 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _PAD_POS = 1.0e4
-# VMEM budget for the per-chain working set; larger batches are chunked
-_MAX_CHAIN_BYTES = 4 * 2 ** 20
+
+
+def _vmem_max_chains(T, n_pad):
+    """How many chains fit one kernel invocation.
+
+    Fixed cost: int8 adjacency (T, n_pad, n_pad) plus an (T, 32, n_pad) f32
+    block copy.  Per chain: ~13 (C, T, n) f32 buffers (x/eps/u/muz/sigz/
+    step/params/outputs + live temporaries) at sublane-padded T.
+    """
+    t_pad = -(-T // 8) * 8
+    y_bytes = T * n_pad * n_pad + 32 * n_pad * max(T, 8) * 4
+    # 17 live (C, T, n) f32 buffers per chain, fitted empirically: 16 chains
+    # compile at T=10/n_pad=512, 24 overflow VMEM
+    per_chain = 17 * t_pad * n_pad * 4
+    return int(max(1, (12 * 2 ** 20 - y_bytes) // per_chain))
 
 
 def _node_scan_kernel(params_ref, x_ref, y_ref, step_ref, eps0_ref, eps1_ref,
                       u0_ref, u1_ref, muz_ref, sigz_ref, x_out_ref,
-                      acc_out_ref, *, n_real, mixture):
-    """params: (C, 4, n) rows [intercept, tau_sq, sigma_sq, lmbda]
-    pre-broadcast along lanes (per-chain scalars as lane vectors — sliced
-    (1,1) scalars hit mosaic re-layout limits).
+                      acc_out_ref, block_ref, *, mixture):
+    """params: (C, 8, n) rows [intercept, tau_sq, sigma_sq, lmbda] (4 used),
+    pre-broadcast along lanes.
 
-    x (C, T, d, n); y (T, n, n) shared; step (C, T, n);
-    eps0/eps1 (C, T, d, n) per phase; u0/u1 (C, T, n) per phase;
-    muz (C, T, d, n); sigz (C, T, n) (mu[z] / sigma[z] gathered outside;
-    unused when mixture=False).  Rank kept <= 4: higher-rank operands hit
-    unsupported gather lowerings in mosaic.
+    x / eps0 / eps1 / muz : (d, C, T, n)   (d leading => static slices)
+    y : (T, n32, n) int8 (n32 = n padded to a multiple of 32)
+    step / u0 / u1 / sigz : (C, T, n)
+    Outputs: x_out (d, C, T, n), acc (C, T, n).
     """
-    C, T, d, n = x_ref.shape
+    d, C, T, n = x_ref.shape
+    f32 = jnp.float32
+
     params = params_ref[...]
-    # all params full-lane (C, 1, 1, n): lane-sliced or newaxis-mixed views
-    # lower to unsupported gathers / relayouts in mosaic
-    intercept = params[:, 0:1, :].reshape(C, 1, 1, n)
-    tau_sq = params[:, 1:2, :].reshape(C, 1, 1, n)
-    sigma_sq = params[:, 2:3, :].reshape(C, 1, 1, n)
-    lmbda = params[:, 3:4, :].reshape(C, 1, 1, n)
+    intercept = params[:, 0:1, :]                            # (C, 1, n)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)  # (1, 1, n)
+    onehot0 = (lane == 0).astype(f32)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)    # (1, n)
-    t_col = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1, 1), 1)
+    def scalar(row):
+        # per-chain scalar as (C, 1, 1): params rows are lane-constant
+        return jnp.sum(params[:, row:row + 1, :] * onehot0, axis=2,
+                       keepdims=True)
 
-    step = step_ref[...][:, :, None, :]                      # (C, T, 1, n)
-    eps_phase = (eps0_ref[...], eps1_ref[...])               # (C, T, d, n)
-    u_phase = (u0_ref[...][:, :, None, :],
-               u1_ref[...][:, :, None, :])                   # (C, T, 1, n)
+    tau_sq = scalar(1)
+    sigma_sq = scalar(2)
+    lmbda = scalar(3)
+
+    t_col = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+
+    step = step_ref[...]
+    eps_phase = (eps0_ref[...], eps1_ref[...])               # (d, C, T, n)
+    u_phase = (u0_ref[...], u1_ref[...])                     # (C, T, n)
     if mixture:
-        muz = muz_ref[...]
-        sigz = sigz_ref[...][:, :, None, :]                  # (C, T, 1, n)
+        muz = muz_ref[...]                                   # (d, C, T, n)
+        sigz = sigz_ref[...]                                 # (C, T, n)
 
-    def shift_down(a):
+    def shift_down(a):                                       # along T
         return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
 
     def shift_up(a):
         return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
 
     def prior_terms(xq, xj, mu_j, sig_j):
-        """Per-(chain, time) log-prior of candidate xq (C, T, d, 1) given
-        stale neighbours from xj; returns (C, T, 1, 1)."""
-        prev = shift_down(xj)
-        nxt = shift_up(xj)
+        """Log-prior of candidate xq given stale temporal neighbours from
+        xj; all inputs lists of d (C, T, 1) (sig_j (C, T, 1)).  Returns
+        (C, T, 1)."""
+        back = 0.0
+        fwd = 0.0
         if mixture:
-            mu_nxt = shift_up(mu_j)
             sig_nxt = jnp.concatenate(
                 [sig_j[:, 1:], jnp.ones_like(sig_j[:, :1])], axis=1)
-            diff0 = xq - mu_j
-            difft = xq - (1.0 - lmbda) * prev - lmbda * mu_j
-            diff = jnp.where(t_col == 0, diff0, difft)
-            back = (-0.5 * jnp.sum(diff * diff, axis=2, keepdims=True)
-                    / sig_j)
-            fdiff = nxt - (1.0 - lmbda) * xq - lmbda * mu_nxt
-            fwd = (-0.5 * jnp.sum(fdiff * fdiff, axis=2, keepdims=True)
-                   / sig_nxt)
+            for di in range(d):
+                prev = shift_down(xj[di])
+                nxt = shift_up(xj[di])
+                mu_nxt = shift_up(mu_j[di])
+                diff0 = xq[di] - mu_j[di]
+                difft = xq[di] - (1.0 - lmbda) * prev - lmbda * mu_j[di]
+                diff = jnp.where(t_col == 0, diff0, difft)
+                back = back + diff * diff
+                fdiff = nxt - (1.0 - lmbda) * xq[di] - lmbda * mu_nxt
+                fwd = fwd + fdiff * fdiff
+            back = -0.5 * back / sig_j
+            fwd = -0.5 * fwd / sig_nxt
         else:
-            back0 = -0.5 * jnp.sum(xq * xq, axis=2, keepdims=True) / tau_sq
-            backt = (-0.5 * jnp.sum((xq - prev) ** 2, axis=2, keepdims=True)
-                     / sigma_sq)
-            back = jnp.where(t_col == 0, back0, backt)
-            fwd = (-0.5 * jnp.sum((nxt - xq) ** 2, axis=2, keepdims=True)
-                   / sigma_sq)
+            b0 = 0.0
+            bt = 0.0
+            for di in range(d):
+                prev = shift_down(xj[di])
+                nxt = shift_up(xj[di])
+                b0 = b0 + xq[di] * xq[di]
+                bt = bt + (xq[di] - prev) ** 2
+                fwd = fwd + (nxt - xq[di]) ** 2
+            back = jnp.where(t_col == 0, -0.5 * b0 / tau_sq,
+                             -0.5 * bt / sigma_sq)
+            fwd = -0.5 * fwd / sigma_sq
         fwd = jnp.where(t_col == T - 1, 0.0, fwd)
-        return back + fwd                                    # (C, T, 1, 1)
+        return back + fwd                                    # (C, T, 1)
 
-    def loglik_row(x_field, xq, y_row, not_self):
-        """Sum over partners of the Bernoulli terms at candidate xq
-        (C, T, d, 1); returns (C, T, 1, 1)."""
-        diff = x_field - xq                                  # (C, T, d, n)
-        dist = jnp.sqrt(jnp.maximum(
-            jnp.sum(diff * diff, axis=2, keepdims=True), 0.0))  # (C,T,1,n)
-        eta = intercept - dist
+    def loglik_row(x, xq, y_row, not_self):
+        """Sum over partners of the Bernoulli terms at candidate xq (list of
+        d (C, T, 1)); x the full field (list of d (C, T, n)).  Returns
+        (C, T, 1)."""
+        d2 = 0.0
+        for di in range(d):
+            diff = x[di] - xq[di]                            # (C, T, n)
+            d2 = d2 + diff * diff
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+        eta = intercept - dist                               # (C, T, n)
         ll = y_row * eta - jax.nn.softplus(eta)
-        return jnp.sum(ll * not_self, axis=3, keepdims=True)
+        return jnp.sum(ll * not_self, axis=2, keepdims=True)
 
-    sub32 = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
-
-    def body(j, carry):
-        x, acc = carry
-        onehot = (lane == j).astype(x.dtype)                 # (1, n)
+    def node_step(j, y_row, x, acc):
+        """One node's two-phase MH update.  y_row: (1, T, n) f32."""
+        onehot = (lane == j).astype(f32)                     # (1, 1, n)
         not_self = 1.0 - onehot
-        # int8 dynamic sublane slices must be 32-aligned: load the aligned
-        # 32-row block and mask-reduce to the wanted row
-        j32 = pl.multiple_of((j // 32) * 32, 32)
-        block = y_ref[:, pl.ds(j32, 32), :].astype(x.dtype)  # (T, 32, n)
-        rowmask = (sub32 == (j - j32)).astype(x.dtype)
-        y_row = jnp.sum(block * rowmask, axis=1, keepdims=True)[None]
+
+        def gather(a):                                       # (C,T,n)->(C,T,1)
+            return jnp.sum(a * onehot, axis=2, keepdims=True)
+
+        step_j = gather(step)
         if mixture:
-            mu_j = jnp.sum(muz * onehot, axis=3, keepdims=True)  # (C,T,d,1)
-            sig_j = jnp.sum(sigz * onehot, axis=3, keepdims=True)
+            mu_j = [gather(muz[di]) for di in range(d)]
+            sig_j = gather(sigz)
         else:
             mu_j = sig_j = None
-        step_j = jnp.sum(step * onehot, axis=3, keepdims=True)
 
+        ll_cur = None
         for phase in (0, 1):
-            xj = jnp.sum(x * onehot, axis=3, keepdims=True)  # (C, T, d, 1)
-            eps_j = jnp.sum(eps_phase[phase] * onehot, axis=3,
-                            keepdims=True)
-            u_j = jnp.sum(u_phase[phase] * onehot, axis=3, keepdims=True)
-            x_prop = xj + step_j * eps_j
+            xj = [gather(x[di]) for di in range(d)]
+            eps_j = [gather(eps_phase[phase][di]) for di in range(d)]
+            u_j = gather(u_phase[phase])
+            x_prop = [xj[di] + step_j * eps_j[di] for di in range(d)]
 
-            ratio = (loglik_row(x, x_prop, y_row, not_self)
-                     - loglik_row(x, xj, y_row, not_self)
+            ll_prop = loglik_row(x, x_prop, y_row, not_self)
+            if ll_cur is None:
+                ll_cur = loglik_row(x, xj, y_row, not_self)
+            ratio = (ll_prop - ll_cur
                      + prior_terms(x_prop, xj, mu_j, sig_j)
-                     - prior_terms(xj, xj, mu_j, sig_j))     # (C, T, 1, 1)
+                     - prior_terms(xj, xj, mu_j, sig_j))     # (C, T, 1)
             in_phase = (t_col % 2) == phase
-            accept = jnp.logical_and(u_j < ratio, in_phase)  # (C, T, 1, 1)
-            x_new = jnp.where(accept, x_prop, xj)            # (C, T, d, 1)
-            x = x * (1.0 - onehot) + x_new * onehot
-            acc = acc + accept.astype(x.dtype) * onehot
+            accept = jnp.logical_and(u_j < ratio, in_phase)  # (C, T, 1)
+            # phase 1 sees the same partner field at node j's row, so the
+            # accepted candidate's row log-lik is next phase's current
+            ll_cur = jnp.where(accept, ll_prop, ll_cur)
+            for di in range(d):
+                x_new = jnp.where(accept, x_prop[di], xj[di])
+                x[di] = x[di] * not_self + x_new * onehot
+            acc = acc + accept.astype(f32) * onehot
         return x, acc
 
-    x0 = x_ref[...]
-    acc0 = jnp.zeros((C, T, 1, n), x0.dtype)
-    x_fin, acc_fin = jax.lax.fori_loop(0, n_real, body, (x0, acc0))
-    x_out_ref[...] = x_fin
-    acc_out_ref[...] = acc_fin[:, :, 0, :]
+    x0 = [x_ref[di] for di in range(d)]
+    acc0 = jnp.zeros((C, T, n), f32)
+    n32 = y_ref.shape[1]
+
+    # Adjacency row supply: int8 dynamic sublane slices must be 32-aligned,
+    # so rows come in three levels — stage a 32-row block (aligned) into an
+    # f32 VMEM scratch, take 8-row ref subslices (8-aligned, dynamic), and
+    # statically unroll the final 8 rows.  Full 32-way unrolling explodes
+    # mosaic compile time; value-level dynamic_slice is unsupported.
+    def block_body(b, carry):
+        j0 = b * 32
+        block_ref[...] = y_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
+                               :].astype(f32)
+
+        def sub_body(m, carry):
+            x, acc = carry
+            sub = block_ref[:, pl.ds(m * 8, 8), :]           # (T, 8, n)
+            for k in range(8):                               # static unroll
+                y_row = sub[:, k, :][None]                   # (1, T, n)
+                x, acc = node_step(j0 + m * 8 + k, y_row, x, acc)
+            return x, acc
+
+        return jax.lax.fori_loop(0, 4, sub_body, carry)
+
+    # padded nodes (n_real <= j < n32) are no-ops: their step/eps/log_u are
+    # zero-padded so x_prop == x_cur and log_u(=0) < ratio(=0) rejects
+    x_fin, acc_fin = jax.lax.fori_loop(0, n32 // 32, block_body, (x0, acc0))
+    for di in range(d):
+        x_out_ref[di] = x_fin[di]
+    acc_out_ref[...] = acc_fin
 
 
-def _call_kernel(Y_p, chunk, *, n_real, mixture, interpret):
+def _call_kernel(Y_p, chunk, *, mixture, interpret):
     x_l, step_p, eps_l, u_l, muz, sigz, params = chunk
-    C, T, d, n_pad = x_l.shape
+    d, C, T, n_pad = x_l.shape
     return pl.pallas_call(
-        functools.partial(_node_scan_kernel, n_real=n_real, mixture=mixture),
+        functools.partial(_node_scan_kernel, mixture=mixture),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((C, T, d, n_pad), x_l.dtype),
+        out_shape=(jax.ShapeDtypeStruct((d, C, T, n_pad), x_l.dtype),
                    jax.ShapeDtypeStruct((C, T, n_pad), x_l.dtype)),
+        scratch_shapes=[pltpu.VMEM((T, 32, n_pad), jnp.float32)],
         interpret=interpret,
-    )(params, x_l, Y_p, step_p, eps_l[:, 0], eps_l[:, 1],
+    )(params, x_l, Y_p, step_p, eps_l[0], eps_l[1],
       u_l[:, 0], u_l[:, 1], muz, sigz)
 
 
@@ -183,71 +249,78 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
     n_pad = max(-(-n // 128) * 128, 128)
     pad = n_pad - n
 
-    x_l = jnp.pad(jnp.moveaxis(X, 2, 3), ((0, 0),) * 3 + ((0, pad),),
-                  constant_values=_PAD_POS)
+    # (C, T, n, d) -> (d, C, T, n)
+    x_l = jnp.pad(jnp.transpose(X, (3, 0, 1, 2)),
+                  ((0, 0),) * 3 + ((0, pad),), constant_values=_PAD_POS)
     # adjacency is binary: int8 storage quarters its VMEM footprint, which
     # bounds how many chains fit per kernel
     Y_p = jnp.pad(Y, ((0, 0), (0, pad), (0, pad))).astype(jnp.int8)
     step_p = jnp.pad(step_size, ((0, 0),) * 2 + ((0, pad),))
-    eps_l = jnp.pad(jnp.transpose(eps, (0, 1, 3, 4, 2)),     # (C,2,T,d,n)
+    # eps (C, 2, n, T, d) -> (2, d, C, T, n)
+    eps_l = jnp.pad(jnp.transpose(eps, (1, 4, 0, 3, 2)),
                     ((0, 0),) * 4 + ((0, pad),))
-    u_l = jnp.pad(jnp.transpose(log_u, (0, 1, 3, 2)),        # (C, 2, T, n)
+    u_l = jnp.pad(jnp.transpose(log_u, (0, 1, 3, 2)),      # (C, 2, T, n)
                   ((0, 0),) * 3 + ((0, pad),))
 
     if mixture:
         muz = jax.vmap(lambda m, zz: m[zz])(mu, z)           # (C, T, n, d)
-        muz = jnp.pad(jnp.moveaxis(muz, 2, 3), ((0, 0),) * 3 + ((0, pad),))
+        muz = jnp.pad(jnp.transpose(muz, (3, 0, 1, 2)),
+                      ((0, 0),) * 3 + ((0, pad),))
         sigz = jax.vmap(lambda s, zz: s[zz])(sigma, z)
         sigz = jnp.pad(sigz, ((0, 0),) * 2 + ((0, pad),), constant_values=1.0)
         lam = jnp.reshape(lmbda, (C,))
         tau_arr = jnp.zeros((C,), X.dtype)
         sig_arr = jnp.ones((C,), X.dtype)
     else:
-        muz = jnp.zeros((C, T, d, n_pad), X.dtype)
+        muz = jnp.zeros((d, C, T, n_pad), X.dtype)
         sigz = jnp.ones((C, T, n_pad), X.dtype)
         lam = jnp.zeros((C,), X.dtype)
         tau_arr = jnp.broadcast_to(jnp.asarray(tau_sq, X.dtype), (C,))
         sig_arr = jnp.broadcast_to(jnp.asarray(sigma_sq, X.dtype), (C,))
 
-    params = jnp.stack([
-        jnp.broadcast_to(jnp.reshape(intercept, (C, 1)), (C, n_pad)),
-        jnp.broadcast_to(tau_arr[:, None], (C, n_pad)),
-        jnp.broadcast_to(sig_arr[:, None], (C, n_pad)),
-        jnp.broadcast_to(lam[:, None], (C, n_pad)),
-    ], axis=1).astype(X.dtype)                               # (C, 4, n_pad)
+    rows = [jnp.broadcast_to(jnp.reshape(intercept, (C, 1)), (C, n_pad)),
+            jnp.broadcast_to(tau_arr[:, None], (C, n_pad)),
+            jnp.broadcast_to(sig_arr[:, None], (C, n_pad)),
+            jnp.broadcast_to(lam[:, None], (C, n_pad))]
+    rows += [jnp.zeros((C, n_pad), X.dtype)] * 4             # pad to 8 rows
+    params = jnp.stack(rows, axis=1).astype(X.dtype)         # (C, 8, n_pad)
 
-    # VMEM sizing: the shared adjacency tile plus the per-chain working set
-    # (positions, noise, prior params, outputs — measured ~0.6 MB per chain
-    # at T=10, n_pad=512) must fit in the ~16 MB of VMEM with headroom.
-    y_bytes = T * n_pad * n_pad          # int8
-    # compiler working set per chain, fitted to measured scoped-vmem usage
-    # (~1.0 MB at T=10/n_pad=512, ~0.22 MB at T=3/n_pad=128): a T*n-linear
-    # term for live buffers plus a fixed per-chain scheduling overhead
-    per_chain = 220 * T * n_pad + 160 * 1024
-    max_c = int(max(1, (12 * 2 ** 20 - y_bytes) // per_chain))
+    max_c = _vmem_max_chains(T, n_pad)
     operands = (x_l, step_p, eps_l, u_l, muz, sigz, params)
 
     if C <= max_c:
-        x_out, acc = _call_kernel(Y_p, operands, n_real=n, mixture=mixture,
+        x_out, acc = _call_kernel(Y_p, operands, mixture=mixture,
                                   interpret=interpret)
     else:
         groups = -(-C // max_c)
         C_pad = groups * max_c
 
-        def regroup(a):
+        def regroup(a, axis):
             widths = [(0, 0)] * a.ndim
-            widths[0] = (0, C_pad - C)
+            widths[axis] = (0, C_pad - C)
             a = jnp.pad(a, widths)
-            return a.reshape((groups, max_c) + a.shape[1:])
+            shape = list(a.shape)
+            shape[axis:axis + 1] = [groups, max_c]
+            a = a.reshape(shape)
+            return jnp.moveaxis(a, axis, 0)
 
-        xs = tuple(regroup(a) for a in operands)
-        x_out, acc = jax.lax.map(
-            lambda chunk: _call_kernel(Y_p, chunk, n_real=n, mixture=mixture,
-                                       interpret=interpret), xs)
-        x_out = x_out.reshape((C_pad,) + x_out.shape[2:])[:C]
+        # chain axis: 1 for (d, C, ...) / (2, d, C, ...), else 0
+        axes = (1, 0, 2, 0, 1, 0, 0)
+        xs = tuple(regroup(a, ax) for a, ax in zip(operands, axes))
+
+        def one_group(chunk):
+            # regroup() moved the group axis to the front of each operand,
+            # so every chunk already has the kernel's layout
+            return _call_kernel(Y_p, chunk, mixture=mixture,
+                                interpret=interpret)
+
+        x_out, acc = jax.lax.map(one_group, xs)
+        # x_out (groups, d, max_c, T, n) -> (d, C_pad, T, n)
+        x_out = jnp.moveaxis(x_out, 0, 1).reshape(
+            (x_out.shape[1], C_pad) + x_out.shape[3:])[:, :C]
         acc = acc.reshape((C_pad,) + acc.shape[2:])[:C]
 
-    X_new = jnp.moveaxis(x_out, 3, 2)[:, :, :n, :]
+    X_new = jnp.transpose(x_out, (1, 2, 3, 0))[:, :, :n, :]
     return X_new, acc[:, :, :n]
 
 
@@ -333,8 +406,7 @@ def _custom_vmap_scan(mixture):
             for a, b in zip(args, arg_batched))
         T, n, d = args[0].shape[1:]
         n_pad = max(-(-n // 128) * 128, 128)
-        per_chain = 220 * T * n_pad + 160 * 1024
-        max_c = int(max(1, (12 * 2 ** 20 - T * n_pad * n_pad) // per_chain))
+        max_c = _vmem_max_chains(T, n_pad)
         if y_batched:
             # per-chain networks (missing-data Gibbs): no shared-Y kernel,
             # fall back to mapping the single-chain program

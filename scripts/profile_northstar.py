@@ -1,0 +1,121 @@
+"""Per-block sweep profile at the north-star scale (T=10, n=500, K=25).
+
+Times each Gibbs block of the HDP-LPCM sweep in isolation (jitted + vmapped
+over chains, steady state) to direct optimization work.  Not part of the
+benchmark contract — a developer tool backing PLAN.md's profile table.
+
+Usage: python scripts/profile_northstar.py [n_chains]
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, '.')
+from bench import build_state_and_sweep, northstar_network  # noqa: E402
+
+
+def _force(out):
+    # jax.block_until_ready is unreliable through the axon relay (returns
+    # before execution completes); a host fetch of an output element of the
+    # last enqueued executable is the only trustworthy barrier.  Slice on
+    # device first so only one scalar crosses the tunnel.
+    import jax
+    import jax.numpy as jnp
+    return float(jnp.ravel(jax.tree.leaves(out)[0])[0])
+
+
+def timeit(fn, *args, n_rounds=8):
+    out = fn(*args)
+    _force(out)
+    t0 = time.time()
+    for _ in range(n_rounds):
+        out = fn(*args)
+    _force(out)
+    return (time.time() - t0) / n_rounds * 1000.0  # ms
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dynetlsm_tpu.mcmc.latent import sample_latent_positions
+    from dynetlsm_tpu.mcmc.labels import sample_labels_block
+    from dynetlsm_tpu.mcmc.hdp import sample_tables, sample_mbar
+    from dynetlsm_tpu.ops.distances import pairwise_distances
+    from dynetlsm_tpu.ops.likelihoods import (
+        undirected_loglik_full, undirected_loglik_pair)
+
+    n_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    T, n, K = 10, 500, 25
+    Y = northstar_network(T=T, n=n)
+    state, sweep = build_state_and_sweep(Y, n_chains, K=K,
+                                         quality_init=False)
+    Yd = jnp.asarray(Y)
+
+    results = {}
+
+    # full sweep (no donation: the same state is reused across blocks)
+    step = jax.jit(jax.vmap(sweep))
+    results['full sweep'] = timeit(step, state)
+
+    # X update (exact scan)
+    def x_exact(s):
+        return sample_latent_positions(
+            s.key, Yd, s.X, s.intercept, s.step_X, mu=s.mu, sigma=s.sigma,
+            lmbda=s.lmbda, z=s.z, mixture=True, scheme='exact')
+    results['X update (exact)'] = timeit(jax.jit(jax.vmap(x_exact)), state)
+
+    def x_par(s):
+        return sample_latent_positions(
+            s.key, Yd, s.X, s.intercept, s.step_X, mu=s.mu, sigma=s.sigma,
+            lmbda=s.lmbda, z=s.z, mixture=True, scheme='parallel')
+    results['X update (parallel)'] = timeit(jax.jit(jax.vmap(x_par)), state)
+
+    # FFBS
+    def ffbs(s):
+        return sample_labels_block(s.key, s.X, s.mu, s.sigma, s.lmbda,
+                                   s.weights)
+    results['FFBS labels'] = timeit(jax.jit(jax.vmap(ffbs)), state)
+
+    # CRF tables
+    def tables(s):
+        n_trans = jnp.zeros((T, K, K)).at[0, 0, 0].set(float(n))
+        m = sample_tables(s.key, n_trans, s.beta, s.alpha_init, s.alpha,
+                          s.kappa, n_max=n, cap=64)
+        return sample_mbar(s.key, m, s.beta, s.kappa, s.alpha, n_max=n,
+                           cap=64)
+    results['CRF tables+mbar (cap=64)'] = timeit(
+        jax.jit(jax.vmap(tables)), state)
+
+    def tables_exact(s):
+        n_trans = jnp.zeros((T, K, K)).at[0, 0, 0].set(float(n))
+        m = sample_tables(s.key, n_trans, s.beta, s.alpha_init, s.alpha,
+                          s.kappa, n_max=n, cap=n)
+        return sample_mbar(s.key, m, s.beta, s.kappa, s.alpha, n_max=n,
+                           cap=n)
+    results['CRF tables+mbar (exact)'] = timeit(
+        jax.jit(jax.vmap(tables_exact)), state)
+
+    # distances + loglik passes
+    dist_fn = jax.jit(jax.vmap(lambda s: pairwise_distances(s.X)))
+    results['pairwise distances'] = timeit(dist_fn, state)
+    dist = dist_fn(state)
+
+    ll1 = jax.jit(jax.vmap(
+        lambda s, d: undirected_loglik_full(Yd, d, s.intercept[0])))
+    results['loglik x1'] = timeit(ll1, state, dist)
+    ll2 = jax.jit(jax.vmap(
+        lambda s, d: undirected_loglik_pair(Yd, d, s.intercept[0],
+                                            s.intercept[0] + 0.1)))
+    results['loglik pair'] = timeit(ll2, state, dist)
+
+    print('\n%d chains, T=%d, n=%d, K=%d (ms/sweep, aggregate over chains)'
+          % (n_chains, T, n, K))
+    for k, v in results.items():
+        print('  %-28s %8.2f ms' % (k, v))
+    agg = n_chains / (results['full sweep'] / 1000.0)
+    print('  -> full-sweep aggregate: %.1f sweeps/s x chains' % agg)
+
+
+if __name__ == '__main__':
+    main()

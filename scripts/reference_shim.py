@@ -1,0 +1,454 @@
+"""Run the *reference* sampler (joshloyal/dynetlsm) with NumPy shims in
+place of its Cython kernels, to (re)generate the posterior statistics used
+by tests/test_equivalence_sampson.py and tests/test_equivalence_lpcm.py.
+
+The reference image has no Cython toolchain for the reference's .pyx
+modules, so this script injects pure-NumPy modules implementing the same
+formulas (each shim cites the .pyx lines it reproduces) into
+``sys.modules`` before importing the reference package from
+``/root/reference``.  Nothing here is part of the dynetlsm_tpu package —
+it exists so the reference numbers in the equivalence tests are
+reproducible, not hearsay.
+
+Usage::
+
+    python scripts/reference_shim.py            # LSM + HDP Sampson stats
+    python scripts/reference_shim.py lsm        # just the LSM run
+"""
+import json
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_PATH = '/root/reference'
+
+
+# ---------------------------------------------------------------------------
+# compatibility: the reference targets numpy<1.24 / statsmodels
+# ---------------------------------------------------------------------------
+
+def _install_numpy_aliases():
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        for name, alias in [('bool', bool), ('int', int), ('float', float),
+                            ('object', object)]:
+            if not hasattr(np, name):
+                setattr(np, name, alias)
+
+
+def _install_sklearn_compat():
+    """sklearn >= 1.6 renamed check_array's force_all_finite kwarg; the
+    reference (sklearn ~0.22 era) still passes the old name."""
+    import sklearn.utils as sku
+    orig = sku.check_array
+
+    def check_array(*args, **kwargs):
+        if 'force_all_finite' in kwargs:
+            kwargs['ensure_all_finite'] = kwargs.pop('force_all_finite')
+        return orig(*args, **kwargs)
+
+    sku.check_array = check_array
+
+
+def _yule_walker(x, order=1, method='adjusted', demean=True):
+    """Minimal statsmodels.regression.linear_model.yule_walker equivalent
+    (AR(p) fit from the Yule-Walker equations); returns (rho, sigma)."""
+    x = np.asarray(x, dtype=float)
+    if demean:
+        x = x - x.mean()
+    n = len(x)
+    r = np.zeros(order + 1)
+    r[0] = x.dot(x) / n
+    for k in range(1, order + 1):
+        denom = n - k if method == 'adjusted' else n
+        r[k] = x[:-k].dot(x[k:]) / denom
+    from scipy.linalg import toeplitz
+    rho = np.linalg.solve(toeplitz(r[:-1]), r[1:])
+    sigmasq = r[0] - r[1:].dot(rho)
+    return rho, np.sqrt(max(sigmasq, 0.0))
+
+
+def _install_statsmodels_shim():
+    if 'statsmodels.regression.linear_model' in sys.modules:
+        return
+    sm = types.ModuleType('statsmodels')
+    reg = types.ModuleType('statsmodels.regression')
+    lin = types.ModuleType('statsmodels.regression.linear_model')
+    lin.yule_walker = _yule_walker
+    sm.regression = reg
+    reg.linear_model = lin
+    sys.modules.setdefault('statsmodels', sm)
+    sys.modules.setdefault('statsmodels.regression', reg)
+    sys.modules['statsmodels.regression.linear_model'] = lin
+
+
+# ---------------------------------------------------------------------------
+# NumPy shims of the reference Cython kernels
+# ---------------------------------------------------------------------------
+
+def _log1pexp(eta):
+    # log(1 + exp(eta)), stable (the .pyx kernels rely on float64 headroom)
+    return np.logaddexp(0.0, eta)
+
+
+def spherical_normal_log_pdf(x, mean, var):
+    """gaussian_likelihood_fast.pyx:17-27."""
+    x = np.asarray(x)
+    diff = x - np.asarray(mean)
+    return (-0.5 * x.shape[-1] * np.log(2 * np.pi * var)
+            - 0.5 * np.sum(diff * diff, axis=-1) / var)
+
+
+def compute_gaussian_likelihood(X, mu, sigma, lmbda, normalize=True):
+    """gaussian_likelihood_fast.pyx:30-54: (T, K) emission matrix of
+    N(X_t ; mean_tk, sigma_k I) with mean_0k = mu_k and
+    mean_tk = lmbda mu_k + (1 - lmbda) X_{t-1}."""
+    X = np.asarray(X, float)
+    mu = np.asarray(mu, float)
+    sigma = np.asarray(sigma, float)
+    T, d = X.shape
+    K = sigma.shape[0]
+    means = np.empty((T, K, d))
+    means[0] = mu
+    if T > 1:
+        means[1:] = lmbda * mu[None, None] + (1 - lmbda) * X[:-1, None]
+    diff = X[:, None, :] - means
+    ll = (-0.5 * d * np.log(2 * np.pi * sigma)[None, :]
+          - 0.5 * np.sum(diff * diff, axis=-1) / sigma[None, :])
+    if normalize:
+        ll -= ll.max(axis=1, keepdims=True)
+    return np.exp(ll)
+
+
+def partial_loglikelihood(Y, X, intercept, node_id, squared=False):
+    """static_network_fast.pyx:17-44: one node's row of Bernoulli terms."""
+    Y = np.asarray(Y, float)
+    X = np.asarray(X, float)
+    d2 = np.sum((X - X[node_id]) ** 2, axis=-1)
+    dist = d2 if squared else np.sqrt(d2)
+    eta = intercept - dist
+    ll = Y[node_id] * eta - _log1pexp(eta)
+    ll[node_id] = 0.0
+    return ll.sum()
+
+
+def approx_partial_loglikelihood(X, intercept, edges, degrees, control_nodes,
+                                 node_id, squared=False):
+    """static_network_fast.pyx:47-94: case-control variant (exact edge terms
+    plus a scaled control estimate of the non-edge mass)."""
+    X = np.asarray(X, float)
+    n = X.shape[0]
+    deg = int(degrees[node_id])
+    e = np.asarray(edges[node_id][:deg], dtype=int)
+    d2 = np.sum((X[e] - X[node_id]) ** 2, axis=-1)
+    dist = d2 if squared else np.sqrt(d2)
+    eta = intercept - dist
+    loglik = np.sum(eta - _log1pexp(eta))
+
+    ctrl = np.asarray(control_nodes[node_id], dtype=int)
+    ctrl = ctrl[ctrl != -1]
+    d2 = np.sum((X[ctrl] - X[node_id]) ** 2, axis=-1)
+    dist = d2 if squared else np.sqrt(d2)
+    eta = intercept - dist
+    control = np.sum(_log1pexp(eta))
+    loglik -= (n - deg - 1) / max(len(ctrl), 1) * control
+    return loglik
+
+
+def _directed_eta(dist, radii, b_in, b_out):
+    # eta_tij = b_in (1 - d/r_j) + b_out (1 - d/r_i)
+    # (directed_likelihoods_fast.pyx:199-202)
+    return (b_in * (1.0 - dist / radii[..., None, :])
+            + b_out * (1.0 - dist / radii[..., :, None]))
+
+
+def directed_network_loglikelihood_fast(Y, dist, radii, b_in, b_out):
+    """directed_likelihoods_fast.pyx:185-205."""
+    Y = np.asarray(Y, float)
+    dist = np.asarray(dist, float)
+    radii = np.asarray(radii, float)
+    eta = _directed_eta(dist, radii, b_in, b_out)
+    ll = Y * eta - _log1pexp(eta)
+    n = Y.shape[-1]
+    off = ~np.eye(n, dtype=bool)
+    return float(np.sum(ll * off))
+
+
+def directed_partial_loglikelihood(Y, X, radii, intercept_in, intercept_out,
+                                   node_id, squared=False):
+    """directed_likelihoods_fast.pyx:46-80: outgoing + incoming terms for
+    one node."""
+    Y = np.asarray(Y, float)
+    X = np.asarray(X, float)
+    radii = np.asarray(radii, float)
+    d2 = np.sum((X - X[node_id]) ** 2, axis=-1)
+    dist = d2 if squared else np.sqrt(d2)
+    r_node = radii[node_id]
+    eta_out = (intercept_in * (1.0 - dist / radii)
+               + intercept_out * (1.0 - dist / r_node))
+    eta_in = (intercept_in * (1.0 - dist / r_node)
+              + intercept_out * (1.0 - dist / radii))
+    ll = Y[node_id] * eta_out - _log1pexp(eta_out)
+    ll += Y[:, node_id] * eta_in - _log1pexp(eta_in)
+    ll[node_id] = 0.0
+    return ll.sum()
+
+
+def approx_directed_partial_loglikelihood(X, radii, in_edges, out_edges,
+                                          degree, control_nodes_in,
+                                          control_nodes_out, intercept_in,
+                                          intercept_out, node_id,
+                                          squared=False):
+    """directed_likelihoods_fast.pyx:83-182."""
+    X = np.asarray(X, float)
+    radii = np.asarray(radii, float)
+    n = X.shape[0]
+    in_deg = int(degree[node_id, 0])
+    out_deg = int(degree[node_id, 1])
+
+    def dists(idx):
+        d2 = np.sum((X[idx] - X[node_id]) ** 2, axis=-1)
+        return d2 if squared else np.sqrt(d2)
+
+    loglik = 0.0
+    e_in = np.asarray(in_edges[node_id][:in_deg], dtype=int)
+    dist = dists(e_in)
+    eta = (intercept_in * (1.0 - dist / radii[node_id])
+           + intercept_out * (1.0 - dist / radii[e_in]))
+    loglik += np.sum(eta - _log1pexp(eta))
+
+    e_out = np.asarray(out_edges[node_id][:out_deg], dtype=int)
+    dist = dists(e_out)
+    eta = (intercept_in * (1.0 - dist / radii[e_out])
+           + intercept_out * (1.0 - dist / radii[node_id]))
+    loglik += np.sum(eta - _log1pexp(eta))
+
+    # control terms: both loops stop at the first -1 in control_nodes_in
+    # (reproducing the reference's shared break condition, pyx:137,160)
+    ctrl_mask = np.asarray(control_nodes_in[node_id], dtype=int) != -1
+    stop = int(np.argmin(ctrl_mask)) if not ctrl_mask.all() \
+        else len(ctrl_mask)
+    c_in = np.asarray(control_nodes_in[node_id][:stop], dtype=int)
+    dist = dists(c_in)
+    eta = (intercept_in * (1.0 - dist / radii[node_id])
+           + intercept_out * (1.0 - dist / radii[c_in]))
+    loglik -= (n - in_deg - 1) / max(stop, 1) * np.sum(_log1pexp(eta))
+
+    c_out = np.asarray(control_nodes_out[node_id][:stop], dtype=int)
+    dist = dists(c_out)
+    eta = (intercept_in * (1.0 - dist / radii[c_out])
+           + intercept_out * (1.0 - dist / radii[node_id]))
+    loglik -= (n - out_deg - 1) / max(stop, 1) * np.sum(_log1pexp(eta))
+    return loglik
+
+
+def approx_directed_network_loglikelihood(X, radii, out_edges, degree,
+                                          control_nodes, intercept_in,
+                                          intercept_out, squared=False):
+    """directed_likelihoods_fast.pyx:208-270."""
+    X = np.asarray(X, float)
+    radii = np.asarray(radii, float)
+    T, n, _ = X.shape
+    loglik = 0.0
+    for t in range(T):
+        for i in range(n):
+            out_deg = int(degree[t, i, 1])
+            e = np.asarray(out_edges[t, i][:out_deg], dtype=int)
+            d2 = np.sum((X[t, e] - X[t, i]) ** 2, axis=-1)
+            dist = d2 if squared else np.sqrt(d2)
+            eta = (intercept_in * (1.0 - dist / radii[e])
+                   + intercept_out * (1.0 - dist / radii[i]))
+            loglik += np.sum(eta - _log1pexp(eta))
+
+            ctrl = np.asarray(control_nodes[t, i], dtype=int)
+            mask = ctrl != -1
+            stop = int(np.argmin(mask)) if not mask.all() else len(mask)
+            c = ctrl[:stop]
+            d2 = np.sum((X[t, c] - X[t, i]) ** 2, axis=-1)
+            dist = d2 if squared else np.sqrt(d2)
+            eta = (intercept_in * (1.0 - dist / radii[c])
+                   + intercept_out * (1.0 - dist / radii[i]))
+            loglik -= ((n - out_deg - 1) / max(stop, 1)
+                       * np.sum(_log1pexp(eta)))
+    return loglik
+
+
+def directed_network_probas(dist, radii, intercept_in, intercept_out):
+    """directed_likelihoods_fast.pyx:273-294."""
+    dist = np.asarray(dist, float)
+    radii = np.asarray(radii, float)
+    eta = _directed_eta(dist, radii, intercept_in, intercept_out)
+    probas = 1.0 / (1.0 + np.exp(-eta))
+    n = dist.shape[-1]
+    probas = probas * ~np.eye(n, dtype=bool)
+    return probas
+
+
+def directed_intercept_grad(Y, dist, radii, intercept_in, intercept_out):
+    """directed_likelihoods_fast.pyx:20-43."""
+    Y = np.asarray(Y, float)
+    dist = np.asarray(dist, float)
+    radii = np.asarray(radii, float)
+    d_in = 1.0 - dist / radii[None, None, :]
+    d_out = 1.0 - dist / radii[None, :, None]
+    eta = intercept_in * d_in + intercept_out * d_out
+    n = Y.shape[-1]
+    step = (Y - 1.0 / (1.0 + np.exp(-eta))) * ~np.eye(n, dtype=bool)
+    return np.array([np.sum(d_in * step), np.sum(d_out * step)])
+
+
+# --- forecast.pyx ----------------------------------------------------------
+
+def _mixture_normal_pdf(x, x_prev, weights, lmbda, mean, sigma):
+    """forecast.pyx:37-54: sum_k w_k N(x ; lmbda mu_k + (1-lmbda) x_prev,
+    sigma_k I)."""
+    mu = lmbda * mean + (1.0 - lmbda) * x_prev[None, :]
+    diff = x[None, :] - mu
+    d = x.shape[0]
+    dens = (np.exp(-0.5 * np.sum(diff * diff, axis=-1) / sigma)
+            / (2 * np.pi * sigma) ** (0.5 * d))
+    return float(np.dot(weights, dens))
+
+
+def marginal_forecast(x, x_prev, z, trans_weights, mus, sigmas, intercepts,
+                      lmbdas, renormalize=True):
+    """forecast.pyx:79-128: posterior-marginalised one-step-ahead edge
+    probabilities (importance-weighted over posterior samples)."""
+    x = np.asarray(x, float)
+    x_prev = np.asarray(x_prev, float)
+    S, n, _ = x_prev.shape
+    sum_w = np.zeros((n, n))
+    probas = np.zeros((n, n))
+    for s in range(S):
+        if renormalize:
+            zs, weights, mean, sigma = renormalize_weights(
+                z[s], trans_weights[s], mus[s], sigmas[s])
+        else:
+            zs, weights, mean, sigma = (z[s], trans_weights[s], mus[s],
+                                        sigmas[s])
+        w_node = np.array([
+            _mixture_normal_pdf(x[i], x_prev[s, i], weights[zs[i]],
+                                lmbdas[s], mean, sigma)
+            for i in range(n)])
+        dij = np.sqrt(np.sum((x[:, None] - x[None]) ** 2, axis=-1))
+        wij = w_node[:, None] * w_node[None, :]
+        tri = np.tril(np.ones((n, n), bool), k=-1)
+        probas += np.where(tri, wij / (1 + np.exp(dij - intercepts[s])),
+                           0.0) / S
+        sum_w += np.where(tri, wij, 0.0) / S
+    sum_w += sum_w.T
+    np.fill_diagonal(sum_w, 1.0)
+    probas += probas.T
+    return probas / sum_w
+
+
+def renormalize_weights(z, weights, means, sigmas):
+    """forecast.pyx:57-67: restrict parameters to the occupied clusters."""
+    active = np.unique(z)
+    w = weights[active][:, active]
+    w /= w.sum(axis=1, keepdims=True)
+    relabel = {old: new for new, old in enumerate(active)}
+    zs = np.array([relabel[v] for v in z], dtype=np.int64)
+    return zs, w, means[active], sigmas[active]
+
+
+# ---------------------------------------------------------------------------
+# loader
+# ---------------------------------------------------------------------------
+
+def load_reference(path=REFERENCE_PATH):
+    """Import the reference ``dynetlsm`` package with the shims installed."""
+    _install_numpy_aliases()
+    _install_sklearn_compat()
+    _install_statsmodels_shim()
+    if path not in sys.path:
+        sys.path.insert(0, path)
+
+    shims = {
+        'gaussian_likelihood_fast': {
+            'compute_gaussian_likelihood': compute_gaussian_likelihood,
+            'spherical_normal_log_pdf': spherical_normal_log_pdf},
+        'static_network_fast': {
+            'partial_loglikelihood': partial_loglikelihood,
+            'approx_partial_loglikelihood': approx_partial_loglikelihood},
+        'directed_likelihoods_fast': {
+            'directed_network_loglikelihood_fast':
+                directed_network_loglikelihood_fast,
+            'directed_partial_loglikelihood':
+                directed_partial_loglikelihood,
+            'approx_directed_partial_loglikelihood':
+                approx_directed_partial_loglikelihood,
+            'approx_directed_network_loglikelihood':
+                approx_directed_network_loglikelihood,
+            'directed_network_probas': directed_network_probas,
+            'directed_intercept_grad': directed_intercept_grad},
+        'forecast': {
+            'marginal_forecast': marginal_forecast,
+            'renormalize_weights': renormalize_weights},
+    }
+    for mod_name, symbols in shims.items():
+        full = 'dynetlsm.' + mod_name
+        if full not in sys.modules:
+            mod = types.ModuleType(full)
+            for sym, fn in symbols.items():
+                setattr(mod, sym, fn)
+            sys.modules[full] = mod
+
+    import dynetlsm
+    return dynetlsm
+
+
+# ---------------------------------------------------------------------------
+# statistic generation (the numbers cited in the equivalence tests)
+# ---------------------------------------------------------------------------
+
+def sampson_lsm_stats():
+    ref = load_reference()
+    from dynetlsm.datasets import load_monks
+    Y, _, _ = load_monks(is_directed=False)
+    model = ref.DynamicNetworkLSM(n_iter=2000, tune=1000, burn=1000,
+                                  random_state=42).fit(Y)
+    nb = model.n_burn_
+    return {
+        'auc': round(float(model.auc_), 4),
+        'intercept_mean': round(float(model.intercepts_[nb:].mean()), 4),
+        'intercept_sd': round(float(model.intercepts_[nb:].std()), 4),
+        'logp_mean': round(float(model.logps_[nb:].mean()), 3),
+        'logp_sd': round(float(model.logps_[nb:].std()), 3),
+        'x_norm_mean': round(
+            float(np.linalg.norm(model.Xs_[nb:], axis=-1).mean()), 4),
+    }
+
+
+def sampson_hdp_stats():
+    ref = load_reference()
+    from dynetlsm.datasets import load_monks
+    Y, _, _ = load_monks(is_directed=False)
+    model = ref.DynamicNetworkHDPLPCM(n_iter=3000, tune=1000, burn=1000,
+                                      n_components=10, random_state=42).fit(Y)
+    nb = model.n_burn_
+    vals, freqs = np.unique(
+        np.array([len(np.unique(zt)) for zt in
+                  model.zs_[nb:].reshape(len(model.zs_[nb:]), -1)]),
+        return_counts=True)
+    return {
+        'auc': round(float(model.auc_), 4),
+        'lambda_mean': round(float(model.lambdas_[nb:].mean()), 4),
+        'lambda_sd': round(float(model.lambdas_[nb:].std()), 4),
+        'intercept_mean': round(float(model.intercepts_[nb:].mean()), 4),
+        'intercept_sd': round(float(model.intercepts_[nb:].std()), 4),
+        'mode_clusters': int(vals[np.argmax(freqs)]),
+    }
+
+
+if __name__ == '__main__':
+    which = sys.argv[1] if len(sys.argv) > 1 else 'all'
+    out = {}
+    if which in ('all', 'lsm'):
+        out['sampson_lsm'] = sampson_lsm_stats()
+        print(json.dumps(out, indent=2))
+    if which in ('all', 'hdp'):
+        out['sampson_hdp'] = sampson_hdp_stats()
+        print(json.dumps(out, indent=2))
