@@ -37,15 +37,24 @@ def _directed_loglik_pair(Y, dist, X, radii, bs_cur, bs_prop, cc):
 
 
 def sample_intercept_undirected(key, Y, dist, intercept, step_size,
-                                prior_mean, prior_var):
+                                prior_mean, prior_var, X=None):
     """(reference sample_coefficients.py:77-86)
 
     intercept : (1,); returns (new_intercept, accepted: (1,), loglik_new).
+    With ``dist=None`` (and ``X`` given) both candidates are evaluated by
+    the fused Pallas kernel directly from the positions — the (T, n, n)
+    distance tensor is never materialised (ops/pallas_loglik.py).
     """
     k_eps, k_acc = jax.random.split(key)
     prop = intercept + step_size * jax.random.normal(k_eps, (1,), intercept.dtype)
 
-    ll_cur, ll_prop = undirected_loglik_pair(Y, dist, intercept[0], prop[0])
+    if dist is None:
+        from ..ops.pallas_loglik import undirected_loglik_pair_fused
+        ll_cur, ll_prop = undirected_loglik_pair_fused(
+            Y, X, intercept[0], prop[0])
+    else:
+        ll_cur, ll_prop = undirected_loglik_pair(Y, dist, intercept[0],
+                                                 prop[0])
 
     def logprior(b):
         return -(b[0] - prior_mean) ** 2 / (2.0 * prior_var)

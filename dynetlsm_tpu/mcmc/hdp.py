@@ -24,6 +24,29 @@ from ..config import SMALL_EPS
 from ..math.distributions import sample_beta, sample_gamma
 
 
+def _fast_poisson(key, lam, n_terms=8):
+    """Vectorised Poisson sampler without rejection loops.
+
+    ``jax.random.poisson`` lowers to data-dependent while-loops that cost
+    ~5 ms at the (C, T, K, K) shapes of the CRF tail; here small rates use
+    inverse-CDF with a truncated series (P(X > 8 | lam <= 2.5) < 1e-3) and
+    larger rates the rounded-Normal approximation — both one fused pass.
+    """
+    k_u, k_z = jax.random.split(key)
+    u = jax.random.uniform(k_u, lam.shape)
+    # CDF_j = e^-lam * sum_{i<=j} lam^i / i!; X = #{j : u > CDF_j}
+    term = jnp.exp(-lam)
+    cdf = term
+    small = jnp.zeros_like(lam)
+    for j in range(1, n_terms + 1):
+        small = small + (u > cdf).astype(lam.dtype)
+        term = term * lam / j
+        cdf = cdf + term
+    z = jax.random.normal(k_z, lam.shape)
+    large = jnp.round(lam + jnp.sqrt(jnp.maximum(lam, 0.0)) * z)
+    return jnp.where(lam > 2.5, jnp.maximum(large, 0.0), small)
+
+
 def sample_tables(key, n_trans, beta, alpha_init, alpha, kappa, n_max,
                   cap=64):
     """CRF table counts (reference sample_auxillary.py:6-28).
@@ -48,12 +71,16 @@ def sample_tables(key, n_trans, beta, alpha_init, alpha, kappa, n_max,
 
     L = min(cap, n_max)
     i = jnp.arange(L, dtype=jnp.float32)                 # (L,)
-    probs = p[..., None] / (p[..., None] + i)            # (T, K, K, L)
     k_head, k_tail = jax.random.split(key)
-    u = jax.random.uniform(k_head, probs.shape)
+    u = jax.random.uniform(k_head, p.shape + (L,))
+    # u < p/(p+i)  <=>  u*i < p*(1-u): division-free (the (T,K,K,L) probs
+    # tensor and its divide were the most expensive part of this block).
+    # i = 0 succeeds with probability 1 by definition; the explicit OR
+    # guards tiny p where p*(1-u) flushes to zero (TPU has no subnormals)
+    trial = jnp.logical_or(u * i < p[..., None] * (1.0 - u),
+                           i == 0.0).astype(jnp.float32)
     mask = i[None, None, None, :] < n_trans[..., None]
-    m = jnp.sum(jnp.where(mask, (u < probs).astype(jnp.float32), 0.0),
-                axis=-1)
+    m = jnp.sum(jnp.where(mask, trial, 0.0), axis=-1)
     if n_max > L:
         c = n_trans.astype(jnp.float32)
         tail_len = jnp.maximum(c - L, 0.0)
@@ -62,7 +89,7 @@ def sample_tables(key, n_trans, beta, alpha_init, alpha, kappa, n_max,
                               p * (digamma(p + jnp.maximum(c, L))
                                    - digamma(p + L)),
                               0.0)
-        tail = jax.random.poisson(k_tail, tail_mean).astype(jnp.float32)
+        tail = _fast_poisson(k_tail, tail_mean)
         m = m + jnp.clip(tail, 0.0, tail_len)
     return m
 

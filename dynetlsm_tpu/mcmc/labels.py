@@ -13,24 +13,26 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SMALL_EPS
-from ..ops.emissions import emission_likelihoods, emission_logliks
+from ..ops.emissions import (
+    emission_likelihoods, emission_likelihoods_kn, emission_logliks)
 
 
 def _backward_messages(lik, w):
-    """Backward messages and partial marginals.
+    """Backward messages and partial marginals, (K, n) layout (nodes on
+    vector lanes: K=25 on lanes would use 20% of each tile).
 
-    lik : (T, n, K) emission likelihoods
+    lik : (T, K, n) emission likelihoods
     w : (T, K, K) transition matrices (w[t] used for the t-1 -> t step)
 
-    Returns partial_marg (T, n, K) = lik[t] * bwds_msg[t] with bwds_msg[T-1]=1
-    (reference sample_labels.py:164-170).
+    Returns partial_marg (T, K, n) = lik[t] * bwds_msg[t] with
+    bwds_msg[T-1]=1 (reference sample_labels.py:164-170).
     """
     T = lik.shape[0]
 
     def step(bwds, t):
-        pm = lik[t] * bwds                              # (n, K)
-        b = pm @ w[t].T                                 # b[i,j] = sum_k w[t,j,k] pm[i,k]
-        b = b / jnp.clip(jnp.sum(b, axis=-1, keepdims=True), SMALL_EPS, None)
+        pm = lik[t] * bwds                              # (K, n)
+        b = w[t] @ pm                                   # b[j,i] = sum_k w[t,j,k] pm[k,i]
+        b = b / jnp.clip(jnp.sum(b, axis=0, keepdims=True), SMALL_EPS, None)
         return b, pm
 
     bwds_last = jnp.ones_like(lik[0])
@@ -40,24 +42,24 @@ def _backward_messages(lik, w):
 
 
 def _forward_sample(key, pm, w0, w):
-    """Sample labels forward in time given partial marginals
+    """Sample labels forward in time given (K, n) partial marginals
     (reference sample_labels.py:173-188).
 
     Returns z : (T, n) int32.
     """
-    T, n, K = pm.shape
+    T, K, n = pm.shape
     keys = jax.random.split(key, T)
 
-    logits0 = jnp.log(jnp.clip(w0[None, :] * pm[0], SMALL_EPS, None))
-    g0 = jax.random.gumbel(keys[0], (n, K), pm.dtype)
-    z0 = jnp.argmax(logits0 + g0, axis=-1).astype(jnp.int32)
+    logits0 = jnp.log(jnp.clip(w0[:, None] * pm[0], SMALL_EPS, None))
+    g0 = jax.random.gumbel(keys[0], (K, n), pm.dtype)
+    z0 = jnp.argmax(logits0 + g0, axis=0).astype(jnp.int32)
 
     def step(z_prev, inputs):
         t_key, pm_t, w_t = inputs
-        probas = w_t[z_prev] * pm_t                     # (n, K)
+        probas = jnp.take(w_t, z_prev, axis=0).T * pm_t  # (K, n)
         logits = jnp.log(jnp.clip(probas, SMALL_EPS, None))
-        g = jax.random.gumbel(t_key, (n, K), pm.dtype)
-        z_t = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+        g = jax.random.gumbel(t_key, (K, n), pm.dtype)
+        z_t = jnp.argmax(logits + g, axis=0).astype(jnp.int32)
         return z_t, z_t
 
     _, z_rest = jax.lax.scan(step, z0, (keys[1:], pm[1:], w[1:]))
@@ -88,7 +90,7 @@ def sample_labels_block(key, X, mu, sigma, lmbda, weights):
     Returns (z, n_trans, nk, resp).
     """
     K = sigma.shape[0]
-    lik = emission_likelihoods(X, mu, sigma, lmbda, normalize=True)
+    lik = emission_likelihoods_kn(X, mu, sigma, lmbda, normalize=True)
     pm = _backward_messages(lik, weights)
     z = _forward_sample(key, pm, weights[0, 0], weights)
     n_trans, nk, resp = _label_statistics(z, K)
@@ -102,7 +104,7 @@ def sample_labels_block_lpcm(key, X, mu, sigma, lmbda, init_weights,
     T = X.shape[0]
     K = sigma.shape[0]
     w = jnp.broadcast_to(trans_weights, (T,) + trans_weights.shape)
-    lik = emission_likelihoods(X, mu, sigma, lmbda, normalize=True)
+    lik = emission_likelihoods_kn(X, mu, sigma, lmbda, normalize=True)
     pm = _backward_messages(lik, w)
     z = _forward_sample(key, pm, init_weights, w)
     n_trans, nk, resp = _label_statistics(z, K)

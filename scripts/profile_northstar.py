@@ -26,13 +26,23 @@ def _force(out):
 
 
 def timeit(fn, *args, n_rounds=8):
+    """Two-point difference timing: the scalar host fetch costs a fixed
+    ~35 ms through the axon relay, so time r and 4r dispatches and divide
+    the difference — the constant cancels."""
     out = fn(*args)
     _force(out)
-    t0 = time.time()
-    for _ in range(n_rounds):
-        out = fn(*args)
-    _force(out)
-    return (time.time() - t0) / n_rounds * 1000.0  # ms
+
+    def run(r):
+        t0 = time.time()
+        for _ in range(r):
+            out = fn(*args)
+        _force(out)
+        return time.time() - t0
+
+    r1 = n_rounds
+    t1 = min(run(r1), run(r1))
+    t4 = min(run(4 * r1), run(4 * r1))
+    return max(t4 - t1, 1e-9) / (3 * r1) * 1000.0  # ms
 
 
 def main():
