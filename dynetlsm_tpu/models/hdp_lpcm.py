@@ -29,6 +29,27 @@ __all__ = ['DynamicNetworkHDPLPCM']
 
 
 class DynamicNetworkHDPLPCM(MixtureModelMixin):
+    """Hierarchical Dirichlet process latent position clustering model: a
+    sticky HDP-HMM (weak-limit approximation) infers the number of
+    communities and their time-varying memberships (reference
+    hdp_lpcm.py:144-496 API surface; the reference runs the same monks fit
+    as a docstring integration test, reference hdp_lpcm.py:366-374).
+
+    Examples
+    --------
+    >>> from dynetlsm_tpu import DynamicNetworkHDPLPCM
+    >>> from dynetlsm_tpu.datasets import load_monks
+    >>> Y, labels, names = load_monks(is_directed=False)
+    >>> model = DynamicNetworkHDPLPCM(n_components=10, n_iter=100, tune=50,
+    ...                               burn=50, random_state=42).fit(Y)
+    >>> model.X_.shape
+    (3, 18, 2)
+    >>> model.z_.shape
+    (3, 18)
+    >>> bool(model.zs_.max() < 10)
+    True
+    """
+
     def __init__(self,
                  n_features=2,
                  n_components=10,

@@ -28,6 +28,23 @@ __all__ = ['DynamicNetworkLPCM']
 
 
 class DynamicNetworkLPCM(MixtureModelMixin):
+    """Dynamic latent position clustering model: LSM plus a finite
+    Gaussian-mixture HMM over cluster labels (reference lpcm.py:134-327 API
+    surface).
+
+    Examples
+    --------
+    >>> from dynetlsm_tpu import DynamicNetworkLPCM
+    >>> from dynetlsm_tpu.datasets import load_monks
+    >>> Y, labels, names = load_monks(is_directed=False)
+    >>> model = DynamicNetworkLPCM(n_components=4, n_iter=100, tune=50,
+    ...                            burn=50, random_state=42).fit(Y)
+    >>> model.X_.shape
+    (3, 18, 2)
+    >>> model.z_.shape
+    (3, 18)
+    """
+
     def __init__(self,
                  n_features=2,
                  n_components=5,

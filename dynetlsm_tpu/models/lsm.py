@@ -38,6 +38,25 @@ __all__ = ['DynamicNetworkLSM']
 
 
 class DynamicNetworkLSM:
+    """Dynamic latent space model with a Gaussian random-walk prior on the
+    latent positions (reference lsm.py:100-317 API surface).
+
+    Examples
+    --------
+    Fit the undirected Sampson monastery network (the reference runs the
+    same fit as a docstring integration test, reference lsm.py:218-223):
+
+    >>> from dynetlsm_tpu import DynamicNetworkLSM
+    >>> from dynetlsm_tpu.datasets import load_monks
+    >>> Y, labels, names = load_monks(is_directed=False)
+    >>> model = DynamicNetworkLSM(n_iter=100, tune=50, burn=50,
+    ...                           random_state=42).fit(Y)
+    >>> model.X_.shape
+    (3, 18, 2)
+    >>> bool(model.auc_ > 0.5)
+    True
+    """
+
     def __init__(self,
                  n_features=2,
                  is_directed=False,

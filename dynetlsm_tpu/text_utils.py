@@ -1,42 +1,55 @@
-"""Label placement for latent-space plots (reference dynetlsm/text_utils.py).
+"""Label placement for latent-space plots.
 
-Spring-layout relaxation pushes text labels away from their anchor points
-and from each other.
+Provides the same capability as the reference's ``repel_labels``
+(dynetlsm/text_utils.py:5-55, a networkx spring-layout pass): text labels
+are pushed away from each other and from the data points while staying
+tethered to their anchors.  Implemented here as a small vectorized
+force-relaxation directly in NumPy — no graph library needed.
 """
 import numpy as np
-import networkx as nx
+
+
+def _relax(anchors, k, n_steps=50, step=0.1):
+    """Force-directed label offsets: labels repel one another (and every
+    anchor) with an inverse-square force of range ``k`` and are pulled back
+    toward their own anchor by a unit spring.  Returns label positions."""
+    m = anchors.shape[0]
+    rng = np.random.RandomState(0)
+    # tiny deterministic jitter so coincident labels separate
+    pos = anchors + 1e-3 * k * rng.randn(m, 2)
+    k2 = k * k
+    for _ in range(n_steps):
+        # pairwise repulsion from other labels and from all anchors
+        others = np.concatenate([pos, anchors], axis=0)   # (2m, 2)
+        diff = pos[:, None, :] - others[None, :, :]        # (m, 2m, 2)
+        d2 = np.einsum('ijk,ijk->ij', diff, diff)
+        np.fill_diagonal(d2[:, :m], np.inf)                # self-pairs
+        d2[np.arange(m), m + np.arange(m)] = np.inf        # own anchor
+        push = (diff * (k2 / np.maximum(d2, 1e-12))[..., None]).sum(axis=1)
+        pull = anchors - pos
+        force = push + pull
+        # cap displacement per step at k for stability
+        norm = np.sqrt(np.einsum('ij,ij->i', force, force))
+        cap = np.minimum(norm, k) / np.maximum(norm, 1e-12)
+        pos = pos + step * cap[:, None] * force
+    return pos
 
 
 def repel_labels(ax, x, y, labels, k=0.01, fontsize=9, color='k'):
-    """Annotate (x, y) points with labels nudged apart by a spring layout
-    (reference text_utils.py:5-55)."""
-    G = nx.DiGraph()
-    data_nodes = []
-    init_pos = {}
-    for xi, yi, label in zip(x, y, labels):
-        data = 'data_{0}'.format(label)
-        G.add_node(data)
-        G.add_node(label)
-        G.add_edge(label, data)
-        data_nodes.append(data)
-        init_pos[data] = (xi, yi)
-        init_pos[label] = (xi, yi)
+    """Annotate the points ``(x, y)`` with ``labels`` nudged apart so they
+    do not overlap, with a thin gray leader line back to each anchor.
 
-    pos = nx.spring_layout(G, pos=init_pos, fixed=data_nodes, k=k)
+    Same signature and behavior as the reference helper
+    (dynetlsm/text_utils.py:5-55); ``k`` is the repulsion range in data
+    units.
+    """
+    anchors = np.column_stack([np.asarray(x, float), np.asarray(y, float)])
+    placed = _relax(anchors, k=max(float(k), 1e-12))
 
-    # undo the spring layout's rescaling so anchors stay at the data
-    pos_after = np.vstack([pos[d] for d in data_nodes])
-    pos_before = np.vstack([init_pos[d] for d in data_nodes])
-    scale, shift_x = np.polyfit(pos_after[:, 0], pos_before[:, 0], 1)
-    scale, shift_y = np.polyfit(pos_after[:, 1], pos_before[:, 1], 1)
-    shift = np.array([shift_x, shift_y])
-    for key, val in pos.items():
-        pos[key] = (val * scale) + shift
-
-    for label, data in G.edges():
+    for (ax_x, ax_y), (lx, ly), label in zip(anchors, placed, labels):
         ax.annotate(label,
-                    xy=pos[data], xycoords='data',
-                    xytext=pos[label], textcoords='data',
+                    xy=(ax_x, ax_y), xycoords='data',
+                    xytext=(lx, ly), textcoords='data',
                     fontsize=fontsize, color=color,
                     arrowprops=dict(arrowstyle='-',
                                     shrinkA=0, shrinkB=0,
