@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from ..ops.likelihoods import (
     undirected_loglik_pair, directed_loglik_full, directed_loglik_pair)
-from ..ops.case_control import approx_directed_loglik_full
+from ..ops.case_control import (
+    approx_directed_loglik_full, approx_undirected_loglik_full)
 from .metropolis import random_walk_accept, dirichlet_metropolis_step
 
 
@@ -37,18 +38,25 @@ def _directed_loglik_pair(Y, dist, X, radii, bs_cur, bs_prop, cc):
 
 
 def sample_intercept_undirected(key, Y, dist, intercept, step_size,
-                                prior_mean, prior_var, X=None):
+                                prior_mean, prior_var, X=None, cc=None):
     """(reference sample_coefficients.py:77-86)
 
     intercept : (1,); returns (new_intercept, accepted: (1,), loglik_new).
-    With ``dist=None`` (and ``X`` given) both candidates are evaluated by
-    the fused Pallas kernel directly from the positions — the (T, n, n)
-    distance tensor is never materialised (ops/pallas_loglik.py).
+    With ``cc`` the candidates are scored by the undirected case-control
+    approximation; otherwise with ``dist=None`` (and ``X`` given) both
+    candidates are evaluated by the fused Pallas kernel directly from the
+    positions — the (T, n, n) distance tensor is never materialised
+    (ops/pallas_loglik.py).
     """
     k_eps, k_acc = jax.random.split(key)
     prop = intercept + step_size * jax.random.normal(k_eps, (1,), intercept.dtype)
 
-    if dist is None:
+    if cc is not None:
+        def cc_ll(b):
+            return approx_undirected_loglik_full(
+                X, cc['out_edges'], cc['degrees'][..., 1], cc['ctrl_out'], b)
+        ll_cur, ll_prop = cc_ll(intercept[0]), cc_ll(prop[0])
+    elif dist is None:
         from ..ops.pallas_loglik import undirected_loglik_pair_fused
         ll_cur, ll_prop = undirected_loglik_pair_fused(
             Y, X, intercept[0], prop[0])

@@ -93,7 +93,7 @@ def _mixture_prior_per_t(xs, x_cur, mu_z, sigma_z, lmbda):
 
 def _parallel_site_update(key, Y, X, intercept, step_size, radii, tau_sq,
                           sigma_sq, mu, sigma, lmbda, z, is_directed,
-                          mixture):
+                          mixture, cc=None):
     """All (t, node) proposals evaluated against the *stale* position field
     with independent per-site acceptance.
 
@@ -113,6 +113,10 @@ def _parallel_site_update(key, Y, X, intercept, step_size, radii, tau_sq,
     def site_ll(Xq):
         """Per-site likelihood terms: row of Bernoulli terms of node j's
         position Xq[t, j] against the stale field X."""
+        if cc is not None:
+            from ..ops.case_control import approx_partial_loglik_all
+            return approx_partial_loglik_all(X, Xq, cc, intercept, radii,
+                                             is_directed)
         diff = Xq[:, :, None, :] - X[:, None, :, :]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 0.0))
         if is_directed:
@@ -178,9 +182,9 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     radii : (n,) social radii (directed only)
     tau_sq, sigma_sq : LSM random-walk prior scales (mixture=False)
     mu (K, d), sigma (K,), lmbda (), z (T, n) : mixture prior (mixture=True)
-    cc : optional case-control dict (directed only) with in_edges,
-        out_edges, degrees, ctrl_in, ctrl_out — switches the likelihood to
-        the O(n * m) approximation (reference
+    cc : optional case-control dict with in_edges, out_edges, degrees,
+        ctrl_in, ctrl_out (undirected networks use only the out halves) —
+        switches the likelihood to the O(n * m) approximation (reference
         sample_latent_positions.py:103-117)
 
     Returns
@@ -189,13 +193,9 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     n_accepted : (T, n) float acceptance indicators for this sweep
     """
     if scheme == 'parallel':
-        if cc is not None:
-            raise NotImplementedError(
-                'parallel latent updates with case-control likelihoods are '
-                'not supported yet')
         return _parallel_site_update(key, Y, X, intercept, step_size, radii,
                                      tau_sq, sigma_sq, mu, sigma, lmbda, z,
-                                     is_directed, mixture)
+                                     is_directed, mixture, cc=cc)
 
     T, n, d = X.shape
     if noise is None:
@@ -247,14 +247,21 @@ def xla_exact_scan(Y, X, intercept, step_size, eps, log_u, *,
             x_prop = x_cur + step_size[:, j, None] * eps[phase, j]
 
             if use_cc:
-                from ..ops.case_control import approx_directed_partial_loglik
+                from ..ops.case_control import (
+                    approx_directed_partial_loglik,
+                    approx_undirected_partial_loglik)
 
                 def cc_ll(x):
-                    return approx_directed_partial_loglik(
-                        X, radii, j, x, cc['in_edges'][:, j],
-                        cc['out_edges'][:, j], cc['degrees'][:, j],
-                        cc['ctrl_in'][:, j], cc['ctrl_out'][:, j],
-                        intercept[0], intercept[1])
+                    if is_directed:
+                        return approx_directed_partial_loglik(
+                            X, radii, j, x, cc['in_edges'][:, j],
+                            cc['out_edges'][:, j], cc['degrees'][:, j],
+                            cc['ctrl_in'][:, j], cc['ctrl_out'][:, j],
+                            intercept[0], intercept[1])
+                    return approx_undirected_partial_loglik(
+                        X, x, cc['out_edges'][:, j],
+                        cc['degrees'][:, j, 1], cc['ctrl_out'][:, j],
+                        intercept[0])
 
                 delta_ll = cc_ll(x_prop) - cc_ll(x_cur)      # (T,)
             else:

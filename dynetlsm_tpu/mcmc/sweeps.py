@@ -25,7 +25,8 @@ from ..ops.likelihoods import (
     undirected_loglik_full, directed_loglik_full,
     directed_network_probas)
 from ..ops.case_control import (
-    approx_directed_loglik_full, sample_control_nodes)
+    approx_directed_loglik_full, approx_undirected_loglik_full,
+    sample_control_nodes, edge_lists_device)
 from .metropolis import maybe_tune
 from .latent import sample_latent_positions
 from .coefficients import (
@@ -75,8 +76,9 @@ class SweepConfig:
     # whether the radii MH step size is tuned (LSM: no, ref lsm.py:470-472;
     # LPCM/HDP: yes, ref hdp_lpcm.py:744-747)
     tune_radii: bool = False
-    # case-control likelihood (directed only): number of control non-edges
-    # per node and the resampling cadence (reference lsm.py:171-179)
+    # case-control likelihood: number of control non-edges per node and the
+    # resampling cadence (reference lsm.py:171-179; extended here to
+    # undirected networks and to fits with missing dyads)
     n_control: Optional[int] = None
     n_resample_control: int = 100
     # latent-position update kernel: 'exact' sequential node scan (matches
@@ -109,6 +111,10 @@ def _network_loglik(cfg, Y, dist, intercept, radii, X=None, cc=None):
                 X, radii, cc['out_edges'], cc['degrees'], cc['ctrl_out'],
                 intercept[0], intercept[1])
         return directed_loglik_full(Y, dist, radii, intercept[0], intercept[1])
+    if cc is not None:
+        return approx_undirected_loglik_full(
+            X, cc['out_edges'], cc['degrees'][..., 1], cc['ctrl_out'],
+            intercept[0])
     return undirected_loglik_full(Y, dist, intercept[0])
 
 
@@ -117,10 +123,26 @@ def _refresh_controls(cfg, key, state, Y):
     (reference CaseControlSampler.resample, case_control_likelihood.py:27-33).
     """
     do = (state.it % cfg.n_resample_control) == 0
-    fresh_in, fresh_out = sample_control_nodes(key, Y, cfg.n_control)
-    ctrl_in = jnp.where(do, fresh_in, state.ctrl_in)
+    fresh_in, fresh_out = sample_control_nodes(key, Y, cfg.n_control,
+                                               directed=cfg.is_directed)
+    ctrl_in = (jnp.where(do, fresh_in, state.ctrl_in)
+               if cfg.is_directed else None)
     ctrl_out = jnp.where(do, fresh_out, state.ctrl_out)
     return ctrl_in, ctrl_out
+
+
+def _cc_structures(cfg, key, state, Y, cc_static):
+    """Per-sweep case-control structures: refreshed control sets plus —
+    when missing dyads are being resampled so the edge structure drifts —
+    an in-device rebuild of the padded edge lists from the current Y
+    (reference MissingDirectedCaseControlSampler,
+    case_control_likelihood.py:115-186)."""
+    ctrl_in, ctrl_out = _refresh_controls(cfg, key, state, Y)
+    lists = (edge_lists_device(Y, cc_static['max_deg'])
+             if cfg.sample_missing else cc_static)
+    cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+    cc.pop('max_deg', None)
+    return cc, ctrl_in, ctrl_out
 
 
 def _resample_missing(cfg, key, Y, dist, intercept, radii, miss_mask):
@@ -223,8 +245,8 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
 
         # 0. case-control control-node refresh
         if use_cc:
-            ctrl_in, ctrl_out = _refresh_controls(cfg, keys[4], state, Y)
-            cc = dict(cc_static, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+            cc, ctrl_in, ctrl_out = _cc_structures(cfg, keys[4], state,
+                                                    Y, cc_static)
         else:
             ctrl_in = ctrl_out = None
             cc = None
@@ -248,7 +270,8 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         # and when the fused Pallas pair kernel evaluates the intercept MH
         # directly from X (nothing else in the sweep needs them then)
         fused = _fused_pair_ok(cfg, Y.shape[-1])
-        dist = None if (use_cc or fused) else pairwise_distances(X)
+        skip_dist = (use_cc and not cfg.sample_missing) or fused
+        dist = None if skip_dist else pairwise_distances(X)
 
         # 5. intercept
         if cfg.is_directed:
@@ -259,7 +282,8 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         else:
             intercept, acc_i, net_ll = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
-                intercept_prior[0], cfg.intercept_variance_prior, X=X)
+                intercept_prior[0], cfg.intercept_variance_prior, X=X,
+                cc=cc)
         acc_int = state.acc_int + acc_i
 
         # 6. radii (directed)
@@ -395,8 +419,8 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         keys = jax.random.split(state.key, 14)
 
         if use_cc:
-            ctrl_in, ctrl_out = _refresh_controls(cfg, keys[13], state, Y)
-            cc = dict(cc_static, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+            cc, ctrl_in, ctrl_out = _cc_structures(cfg, keys[13], state,
+                                                    Y, cc_static)
         else:
             ctrl_in = ctrl_out = None
             cc = None
@@ -411,7 +435,8 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         acc_X = state.acc_X + acc_new
         X = X - jnp.mean(X, axis=(0, 1))
         fused = _fused_pair_ok(cfg, Y.shape[-1])
-        dist = None if (use_cc or fused) else pairwise_distances(X)
+        skip_dist = (use_cc and not cfg.sample_missing) or fused
+        dist = None if skip_dist else pairwise_distances(X)
 
         # intercept + radii
         if cfg.is_directed:
@@ -422,7 +447,8 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         else:
             intercept, acc_i, net_ll = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
-                intercept_prior[0], cfg.intercept_variance_prior, X=X)
+                intercept_prior[0], cfg.intercept_variance_prior, X=X,
+                cc=cc)
         acc_int = state.acc_int + acc_i
         if cfg.is_directed:
             radii, acc_r, net_ll = sample_radii(keys[2], Y, dist, intercept,
@@ -516,8 +542,8 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         keys = jax.random.split(state.key, 20)
 
         if use_cc:
-            ctrl_in, ctrl_out = _refresh_controls(cfg, keys[18], state, Y)
-            cc = dict(cc_static, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+            cc, ctrl_in, ctrl_out = _cc_structures(cfg, keys[18], state,
+                                                    Y, cc_static)
         else:
             ctrl_in = ctrl_out = None
             cc = None
@@ -532,7 +558,8 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         acc_X = state.acc_X + acc_new
         X = X - jnp.mean(X, axis=(0, 1))
         fused = _fused_pair_ok(cfg, Y.shape[-1])
-        dist = None if (use_cc or fused) else pairwise_distances(X)
+        skip_dist = (use_cc and not cfg.sample_missing) or fused
+        dist = None if skip_dist else pairwise_distances(X)
 
         # intercept + radii
         if cfg.is_directed:
@@ -543,7 +570,8 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         else:
             intercept, acc_i, net_ll = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
-                intercept_prior[0], cfg.intercept_variance_prior, X=X)
+                intercept_prior[0], cfg.intercept_variance_prior, X=X,
+                cc=cc)
         acc_int = state.acc_int + acc_i
         if cfg.is_directed:
             radii, acc_r, net_ll = sample_radii(keys[2], Y, dist, intercept,

@@ -54,30 +54,37 @@ def chain_traces_to_numpy(traces, n_chains):
     return out
 
 
-def build_case_control(cfg, Y_dev, Y_host, rng):
+def build_case_control(cfg, Y_dev, Y_host, rng, miss_mask=None):
     """Prepare the case-control structures when cfg.n_control is set.
+
+    Goes beyond the reference's directed-only support (lsm.py:425-427): the
+    undirected path uses the row-symmetric edge lists with the
+    static_network_fast.pyx:47-94 estimator, and missing dyads are handled
+    by rebuilding the edge lists in-device every sweep with a static
+    degree bound (``max_deg``) instead of the reference's host-side
+    MissingDirectedCaseControlSampler.
 
     Returns (cc_static dict of device arrays or None,
              (ctrl_in, ctrl_out) initial control draws or None).
     """
+    import jax
     import jax.numpy as jnp
-    from ..ops.case_control import build_edge_lists, sample_control_nodes
+    from ..ops.case_control import (
+        build_edge_lists, sample_control_nodes, max_degree_bound)
 
     if cfg.n_control is None:
         return None, None
-    if not cfg.is_directed:
-        raise ValueError('The case-control likelihood is only supported '
-                         'for directed networks (reference lsm.py:425-427).')
-    if cfg.sample_missing:
-        raise NotImplementedError(
-            'case-control likelihood with missing dyads is not supported')
 
-    lists = build_edge_lists(Y_host)
-    cc_static = {k: jnp.asarray(v) for k, v in lists.items()}
-    import jax
+    if cfg.sample_missing:
+        # edge structure drifts as missing dyads are resampled — the sweep
+        # rebuilds the padded lists in-device with this static safe bound
+        cc_static = {'max_deg': max_degree_bound(Y_host, miss_mask)}
+    else:
+        lists = build_edge_lists(Y_host)
+        cc_static = {k: jnp.asarray(v) for k, v in lists.items()}
     ctrl = sample_control_nodes(
         jax.random.PRNGKey(rng.randint(0, 2 ** 31 - 1)), Y_dev,
-        cfg.n_control)
+        cfg.n_control, directed=cfg.is_directed)
     return cc_static, ctrl
 
 

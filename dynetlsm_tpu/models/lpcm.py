@@ -178,7 +178,8 @@ class DynamicNetworkLPCM(MixtureModelMixin):
 
         Y_dev = to_device_f32(self.Y_fit_)
         miss_dev = jnp.asarray(miss_mask) if sample_missing else None
-        cc_static, ctrl0 = build_case_control(cfg, Y_dev, self.Y_fit_, rng)
+        cc_static, ctrl0 = build_case_control(cfg, Y_dev, self.Y_fit_, rng,
+                                              miss_mask=miss_mask)
         sweep = make_lpcm_sweep(None if sample_missing else Y_dev, miss_dev,
                                 intercept_prior.astype(DTYPE), cfg,
                                 cc_static=cc_static)

@@ -122,3 +122,135 @@ def test_control_estimate_unbiased(rng):
     # mean within ~2 std errors of the exact value
     se = draws.std() / np.sqrt(draws.shape[0])
     assert abs(draws.mean() - want) < 4 * se + 0.05 * abs(want) / 100
+
+
+# ---------------------------------------------------------------------------
+# undirected case-control (reference static_network_fast.pyx:47-94, which
+# the reference ships but never wires into its Python layer)
+# ---------------------------------------------------------------------------
+
+def _undirected_net(rng, T=2, n=15, d=2):
+    X = rng.randn(T, n, d)
+    upper = rng.binomial(1, 0.3, size=(T, n, n)).astype(np.float64)
+    Y = np.triu(upper, 1) + np.swapaxes(np.triu(upper, 1), 1, 2)
+    return X, Y
+
+
+def test_undirected_full_control_limit(rng):
+    """With every non-edge as a control, the undirected approximation equals
+    the exact undirected log-likelihood."""
+    from dynetlsm_tpu.ops.case_control import (
+        approx_undirected_loglik_full, approx_undirected_partial_loglik)
+    from dynetlsm_tpu.ops.likelihoods import undirected_loglik_full
+
+    X, Y = _undirected_net(rng)
+    T, n, _ = Y.shape
+    b = 0.8
+    lists = build_edge_lists(Y)
+    _, ctrl = sample_control_nodes(
+        jax.random.PRNGKey(0), jnp.asarray(Y, jnp.float32), n - 1,
+        directed=False)
+
+    got = float(approx_undirected_loglik_full(
+        jnp.asarray(X, jnp.float32), jnp.asarray(lists['out_edges']),
+        jnp.asarray(lists['degrees'][..., 1]), ctrl, b))
+    dist = pairwise_distances(jnp.asarray(X, jnp.float32))
+    want = float(undirected_loglik_full(jnp.asarray(Y, jnp.float32), dist, b))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    # per-node delta matches the exact delta
+    j = 3
+    X2 = X.copy()
+    X2[:, j] += 0.15
+
+    def cc_ll(x):
+        return np.asarray(approx_undirected_partial_loglik(
+            jnp.asarray(X, jnp.float32), jnp.asarray(x, jnp.float32),
+            jnp.asarray(lists['out_edges'][:, j]),
+            jnp.asarray(lists['degrees'][:, j, 1]), ctrl[:, j], b))
+
+    delta_cc = (cc_ll(X2[:, j]) - cc_ll(X[:, j])).sum()
+
+    def full(Xa):
+        d_ = pairwise_distances(jnp.asarray(Xa, jnp.float32))
+        return float(undirected_loglik_full(jnp.asarray(Y, jnp.float32),
+                                            d_, b))
+
+    np.testing.assert_allclose(delta_cc, full(X2) - full(X), atol=5e-3)
+
+
+def test_edge_lists_device_matches_host(rng):
+    """The in-device top-k edge-list rebuild reproduces the host builder."""
+    from dynetlsm_tpu.ops.case_control import edge_lists_device
+
+    _, Y, _ = _directed_net(rng, n=17)
+    host = build_edge_lists(Y)
+    max_deg = host['out_edges'].shape[-1]
+    dev = jax.jit(edge_lists_device, static_argnums=1)(
+        jnp.asarray(Y, jnp.float32), max(max_deg,
+                                         host['in_edges'].shape[-1]))
+
+    np.testing.assert_array_equal(np.asarray(dev['degrees']),
+                                  host['degrees'])
+    # same index sets per row (host lists are ascending; device lists come
+    # from top_k which also breaks ties by lowest index)
+    T, n = Y.shape[:2]
+    for name in ('in_edges', 'out_edges'):
+        got = np.asarray(dev[name])
+        want = host[name]
+        for t in range(T):
+            for i in range(n):
+                g = sorted(got[t, i][got[t, i] >= 0].tolist())
+                w = sorted(want[t, i][want[t, i] >= 0].tolist())
+                assert g == w, (name, t, i)
+
+
+def test_lsm_fit_undirected_case_control(rng):
+    """End-to-end undirected LSM fit with the case-control likelihood."""
+    from dynetlsm_tpu import DynamicNetworkLSM
+    from dynetlsm_tpu.datasets import simple_splitting_dynamic_network
+
+    Y, _ = simple_splitting_dynamic_network(n_nodes=24, n_time_steps=2,
+                                            random_state=3)
+    model = DynamicNetworkLSM(n_iter=40, tune=40, burn=40, n_control=8,
+                              n_resample_control=10, random_state=1).fit(Y)
+    assert model.X_.shape == (2, 24, 2)
+    assert np.isfinite(model.logps_).all()
+    assert model.auc_ > 0.5
+
+
+def test_lsm_fit_case_control_with_missing(rng):
+    """Case-control + Gibbs-resampled missing dyads (the round-1
+    NotImplementedError): edge lists are rebuilt in-device each sweep."""
+    from dynetlsm_tpu import DynamicNetworkLSM
+    from dynetlsm_tpu.datasets import simple_splitting_dynamic_network
+
+    Y, _ = simple_splitting_dynamic_network(n_nodes=24, n_time_steps=2,
+                                            random_state=3)
+    Y = Y.astype(np.float64)
+    miss = rng.uniform(size=Y.shape) < 0.08
+    miss |= np.swapaxes(miss, 1, 2)
+    for t in range(Y.shape[0]):
+        np.fill_diagonal(miss[t], False)
+    Y[miss] = -1
+
+    model = DynamicNetworkLSM(n_iter=40, tune=40, burn=40, n_control=8,
+                              n_resample_control=10, random_state=1).fit(Y)
+    assert model.X_.shape == (2, 24, 2)
+    assert np.isfinite(model.logps_).all()
+
+
+def test_lsm_fit_case_control_parallel_update(rng):
+    """Case-control + stale-field parallel latent updates (the round-1
+    NotImplementedError in mcmc/latent.py)."""
+    from dynetlsm_tpu import DynamicNetworkLSM
+    from dynetlsm_tpu.datasets import simple_splitting_dynamic_network
+
+    Y, _ = simple_splitting_dynamic_network(n_nodes=24, n_time_steps=2,
+                                            random_state=3)
+    model = DynamicNetworkLSM(n_iter=40, tune=40, burn=40, n_control=8,
+                              n_resample_control=10, random_state=1,
+                              latent_update='parallel').fit(Y)
+    assert model.X_.shape == (2, 24, 2)
+    assert np.isfinite(model.logps_).all()
+    assert float(np.asarray(model.Xs_).std()) > 0
