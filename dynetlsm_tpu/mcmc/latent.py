@@ -205,20 +205,22 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     else:
         eps, log_u = noise
 
-    # On TPU the exact undirected scan runs as one fused Pallas kernel
-    # (bit-exact same Markov kernel and proposal stream; ~20x less dispatch
-    # overhead at large n).  Falls back to the XLA fori_loop on other
-    # backends, for the directed model, under case-control, or when the
-    # padded adjacency tile would overflow VMEM.
+    # On TPU the exact scan (undirected and directed social-radii) runs as
+    # one fused Pallas kernel (same Markov kernel and proposal stream;
+    # ~20x less dispatch overhead at large n).  Falls back to the XLA
+    # fori_loop on other backends, under case-control, or when the padded
+    # adjacency tiles (two for directed: Y and Y^T) would overflow VMEM.
     n_pad = max(-(-n // 128) * 128, 128)
-    if (scheme == 'exact' and not is_directed and cc is None
+    adj_budget = T * n_pad * n_pad * (8 if is_directed else 4)
+    if (scheme == 'exact' and cc is None
             and jax.default_backend() == 'tpu'
-            and T * n_pad * n_pad * 4 < 12 * 2 ** 20):
+            and adj_budget < 12 * 2 ** 20):
         from ..ops.pallas_scan import node_scan_dispatch
         return node_scan_dispatch(
-            Y, X, intercept[0], step_size, eps, log_u,
+            Y, X, intercept, step_size, eps, log_u,
             tau_sq=0.0 if mixture else tau_sq,
             sigma_sq=1.0 if mixture else sigma_sq,
+            radii=radii if is_directed else None,
             mu=mu, sigma=sigma, lmbda=lmbda, z=z, mixture=mixture)
 
     return xla_exact_scan(Y, X, intercept, step_size, eps, log_u,

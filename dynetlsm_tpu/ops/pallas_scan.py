@@ -24,10 +24,13 @@ alignment) with *statically unrolled* row slices, replacing the per-step
 candidate log-likelihood row instead of recomputing it (identical floats:
 the partner field seen by node j is unchanged between phases).
 
-Undirected likelihood only (the directed social-radii model uses the XLA
-scan).  LSM random-walk and mixture priors both supported.  With an
-injected proposal stream the kernel realises the *identical* Markov chain
-as mcmc.latent.xla_exact_scan (bit-exact parity tests).
+Both the undirected and the **directed social-radii** likelihoods are
+supported (reference directed_likelihoods_fast.pyx:46-80): the directed
+variant feeds the transposed adjacency through a second row-block stage for
+the in-edge terms and carries the radii as an extra lane row of the params
+tile.  LSM random-walk and mixture priors both supported.  With an injected
+proposal stream the kernel realises the *identical* Markov chain as
+mcmc.latent.xla_exact_scan (parity tests in tests/test_pallas_scan.py).
 """
 import functools
 
@@ -39,48 +42,62 @@ from jax.experimental.pallas import tpu as pltpu
 _PAD_POS = 1.0e4
 
 
-def _vmem_max_chains(T, n_pad):
+def _vmem_max_chains(T, n_pad, directed=False):
     """How many chains fit one kernel invocation.
 
-    Fixed cost: int8 adjacency (T, n_pad, n_pad) plus an (T, 32, n_pad) f32
-    block copy.  Per chain: ~13 (C, T, n) f32 buffers (x/eps/u/muz/sigz/
-    step/params/outputs + live temporaries) at sublane-padded T.
+    Fixed cost: int8 adjacency (T, n_pad, n_pad) (twice when directed: Y
+    and Y^T) plus (T, 32, n_pad) f32 block copies.  Per chain: ~17 live
+    (C, T, n) f32 buffers (x/eps/u/muz/sigz/step/params/outputs +
+    temporaries) at sublane-padded T, fitted empirically: 16 chains compile
+    at T=10/n_pad=512, 24 overflow VMEM.
     """
     t_pad = -(-T // 8) * 8
-    y_bytes = T * n_pad * n_pad + 32 * n_pad * max(T, 8) * 4
-    # 17 live (C, T, n) f32 buffers per chain, fitted empirically: 16 chains
-    # compile at T=10/n_pad=512, 24 overflow VMEM
+    n_adj = 2 if directed else 1
+    y_bytes = n_adj * (T * n_pad * n_pad + 32 * n_pad * max(T, 8) * 4)
     per_chain = 17 * t_pad * n_pad * 4
-    return int(max(1, (12 * 2 ** 20 - y_bytes) // per_chain))
+    # budget probed empirically at T=10, n_pad=512: undirected 22 chains and
+    # directed 20 compile and run; 15.5 MB of the 16 MB/core keeps margin
+    return int(max(1, (15.5 * 2 ** 20 - y_bytes) // per_chain))
 
 
-def _node_scan_kernel(params_ref, x_ref, y_ref, step_ref, eps0_ref, eps1_ref,
-                      u0_ref, u1_ref, muz_ref, sigz_ref, x_out_ref,
-                      acc_out_ref, block_ref, *, mixture):
-    """params: (C, 8, n) rows [intercept, tau_sq, sigma_sq, lmbda] (4 used),
-    pre-broadcast along lanes.
+def _node_scan_kernel(params_ref, x_ref, y_ref, *refs, mixture, directed,
+                      n_real):
+    """params: (C, 8, n) lane rows
+    [b_in|b, b_out, tau_sq, sigma_sq, lmbda, radii] (pre-broadcast; scalar
+    rows are lane-constant, the radii row is lane-varying).
 
     x / eps0 / eps1 / muz : (d, C, T, n)   (d leading => static slices)
-    y : (T, n32, n) int8 (n32 = n padded to a multiple of 32)
+    y (+ yt when directed) : (T, n32, n) int8 (n32 = n padded to 32)
     step / u0 / u1 / sigz : (C, T, n)
     Outputs: x_out (d, C, T, n), acc (C, T, n).
     """
+    if directed:
+        (yt_ref, step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
+         sigz_ref, x_out_ref, acc_out_ref, block_ref, blockT_ref) = refs
+    else:
+        (step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
+         sigz_ref, x_out_ref, acc_out_ref, block_ref) = refs
+
     d, C, T, n = x_ref.shape
     f32 = jnp.float32
 
     params = params_ref[...]
-    intercept = params[:, 0:1, :]                            # (C, 1, n)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)  # (1, 1, n)
     onehot0 = (lane == 0).astype(f32)
+    valid = (lane < n_real).astype(f32)                       # real lanes
 
     def scalar(row):
         # per-chain scalar as (C, 1, 1): params rows are lane-constant
         return jnp.sum(params[:, row:row + 1, :] * onehot0, axis=2,
                        keepdims=True)
 
-    tau_sq = scalar(1)
-    sigma_sq = scalar(2)
-    lmbda = scalar(3)
+    b_in = params[:, 0:1, :]                                  # (C, 1, n)
+    if directed:
+        b_out = params[:, 1:2, :]
+        radii = params[:, 5:6, :]                             # (C, 1, n)
+    tau_sq = scalar(2)
+    sigma_sq = scalar(3)
+    lmbda = scalar(4)
 
     t_col = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
 
@@ -133,7 +150,7 @@ def _node_scan_kernel(params_ref, x_ref, y_ref, step_ref, eps0_ref, eps1_ref,
         fwd = jnp.where(t_col == T - 1, 0.0, fwd)
         return back + fwd                                    # (C, T, 1)
 
-    def loglik_row(x, xq, y_row, not_self):
+    def loglik_row(x, xq, y_row, yt_row, r_self, mask):
         """Sum over partners of the Bernoulli terms at candidate xq (list of
         d (C, T, 1)); x the full field (list of d (C, T, n)).  Returns
         (C, T, 1)."""
@@ -142,19 +159,30 @@ def _node_scan_kernel(params_ref, x_ref, y_ref, step_ref, eps0_ref, eps1_ref,
             diff = x[di] - xq[di]                            # (C, T, n)
             d2 = d2 + diff * diff
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-        eta = intercept - dist                               # (C, T, n)
-        ll = y_row * eta - jax.nn.softplus(eta)
-        return jnp.sum(ll * not_self, axis=2, keepdims=True)
+        if directed:
+            # reference directed_likelihoods_fast.pyx:46-80 —
+            # eta for j -> partner: b_in (1 - d/r_partner) + b_out (1 - d/r_j)
+            eta_out = (b_in * (1.0 - dist / radii)
+                       + b_out * (1.0 - dist / r_self))
+            eta_in = (b_in * (1.0 - dist / r_self)
+                      + b_out * (1.0 - dist / radii))
+            ll = y_row * eta_out - jax.nn.softplus(eta_out)
+            ll += yt_row * eta_in - jax.nn.softplus(eta_in)
+        else:
+            eta = b_in - dist                                # (C, T, n)
+            ll = y_row * eta - jax.nn.softplus(eta)
+        return jnp.sum(ll * mask, axis=2, keepdims=True)
 
-    def node_step(j, y_row, x, acc):
-        """One node's two-phase MH update.  y_row: (1, T, n) f32."""
+    def node_step(j, y_row, yt_row, x, acc):
+        """One node's two-phase MH update.  y_row/yt_row: (1, T, n) f32."""
         onehot = (lane == j).astype(f32)                     # (1, 1, n)
-        not_self = 1.0 - onehot
+        mask = (1.0 - onehot) * valid
 
         def gather(a):                                       # (C,T,n)->(C,T,1)
             return jnp.sum(a * onehot, axis=2, keepdims=True)
 
         step_j = gather(step)
+        r_self = gather(radii) if directed else None         # (C, 1, 1)
         if mixture:
             mu_j = [gather(muz[di]) for di in range(d)]
             sig_j = gather(sigz)
@@ -168,9 +196,9 @@ def _node_scan_kernel(params_ref, x_ref, y_ref, step_ref, eps0_ref, eps1_ref,
             u_j = gather(u_phase[phase])
             x_prop = [xj[di] + step_j * eps_j[di] for di in range(d)]
 
-            ll_prop = loglik_row(x, x_prop, y_row, not_self)
+            ll_prop = loglik_row(x, x_prop, y_row, yt_row, r_self, mask)
             if ll_cur is None:
-                ll_cur = loglik_row(x, xj, y_row, not_self)
+                ll_cur = loglik_row(x, xj, y_row, yt_row, r_self, mask)
             ratio = (ll_prop - ll_cur
                      + prior_terms(x_prop, xj, mu_j, sig_j)
                      - prior_terms(xj, xj, mu_j, sig_j))     # (C, T, 1)
@@ -181,7 +209,7 @@ def _node_scan_kernel(params_ref, x_ref, y_ref, step_ref, eps0_ref, eps1_ref,
             ll_cur = jnp.where(accept, ll_prop, ll_cur)
             for di in range(d):
                 x_new = jnp.where(accept, x_prop[di], xj[di])
-                x[di] = x[di] * not_self + x_new * onehot
+                x[di] = x[di] * (1.0 - onehot) + x_new * onehot
             acc = acc + accept.astype(f32) * onehot
         return x, acc
 
@@ -198,13 +226,18 @@ def _node_scan_kernel(params_ref, x_ref, y_ref, step_ref, eps0_ref, eps1_ref,
         j0 = b * 32
         block_ref[...] = y_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
                                :].astype(f32)
+        if directed:
+            blockT_ref[...] = yt_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
+                                     :].astype(f32)
 
         def sub_body(m, carry):
             x, acc = carry
             sub = block_ref[:, pl.ds(m * 8, 8), :]           # (T, 8, n)
+            subT = blockT_ref[:, pl.ds(m * 8, 8), :] if directed else None
             for k in range(8):                               # static unroll
                 y_row = sub[:, k, :][None]                   # (1, T, n)
-                x, acc = node_step(j0 + m * 8 + k, y_row, x, acc)
+                yt_row = subT[:, k, :][None] if directed else None
+                x, acc = node_step(j0 + m * 8 + k, y_row, yt_row, x, acc)
             return x, acc
 
         return jax.lax.fori_loop(0, 4, sub_body, carry)
@@ -217,35 +250,43 @@ def _node_scan_kernel(params_ref, x_ref, y_ref, step_ref, eps0_ref, eps1_ref,
     acc_out_ref[...] = acc_fin
 
 
-def _call_kernel(Y_p, chunk, *, mixture, interpret):
+def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     x_l, step_p, eps_l, u_l, muz, sigz, params = chunk
     d, C, T, n_pad = x_l.shape
+    n_in = 11 if directed else 10
+    scratch = [pltpu.VMEM((T, 32, n_pad), jnp.float32)]
+    if directed:
+        scratch.append(pltpu.VMEM((T, 32, n_pad), jnp.float32))
+    adj = (Y_p, YT_p) if directed else (Y_p,)
     return pl.pallas_call(
-        functools.partial(_node_scan_kernel, mixture=mixture),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        functools.partial(_node_scan_kernel, mixture=mixture,
+                          directed=directed, n_real=n_real),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((d, C, T, n_pad), x_l.dtype),
                    jax.ShapeDtypeStruct((C, T, n_pad), x_l.dtype)),
-        scratch_shapes=[pltpu.VMEM((T, 32, n_pad), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(params, x_l, Y_p, step_p, eps_l[0], eps_l[1],
+    )(params, x_l, *adj, step_p, eps_l[0], eps_l[1],
       u_l[:, 0], u_l[:, 1], muz, sigz)
 
 
 def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
-                    tau_sq, sigma_sq, mu=None, sigma=None, lmbda=None,
-                    z=None, mixture=False, interpret=False):
+                    tau_sq, sigma_sq, radii=None, mu=None, sigma=None,
+                    lmbda=None, z=None, mixture=False, interpret=False):
     """Chain-batched exact node scan.
 
-    Shapes: X (C, T, n, d); intercept / lmbda (C,); tau_sq / sigma_sq
-    scalars or (C,); step_size (C, T, n); eps (C, 2, n, T, d) and
-    log_u (C, 2, n, T) in the XLA kernel's stream layout; mu (C, K, d);
+    Shapes: X (C, T, n, d); intercept (C,) undirected / (C, 2) directed;
+    lmbda (C,); tau_sq / sigma_sq scalars or (C,); step_size (C, T, n);
+    eps (C, 2, n, T, d) and log_u (C, 2, n, T) in the XLA kernel's stream
+    layout; radii (C, n) switches on the directed likelihood; mu (C, K, d);
     sigma (C, K); z (C, T, n).  Y is shared (T, n, n).
 
     Returns (X_new (C, T, n, d), n_accepted (C, T, n)).
     """
     C, T, n, d = X.shape
+    directed = radii is not None
     n_pad = max(-(-n // 128) * 128, 128)
     pad = n_pad - n
 
@@ -255,6 +296,7 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
     # adjacency is binary: int8 storage quarters its VMEM footprint, which
     # bounds how many chains fit per kernel
     Y_p = jnp.pad(Y, ((0, 0), (0, pad), (0, pad))).astype(jnp.int8)
+    YT_p = jnp.swapaxes(Y_p, -1, -2) if directed else None
     step_p = jnp.pad(step_size, ((0, 0),) * 2 + ((0, pad),))
     # eps (C, 2, n, T, d) -> (2, d, C, T, n)
     eps_l = jnp.pad(jnp.transpose(eps, (1, 4, 0, 3, 2)),
@@ -278,19 +320,33 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
         tau_arr = jnp.broadcast_to(jnp.asarray(tau_sq, X.dtype), (C,))
         sig_arr = jnp.broadcast_to(jnp.asarray(sigma_sq, X.dtype), (C,))
 
-    rows = [jnp.broadcast_to(jnp.reshape(intercept, (C, 1)), (C, n_pad)),
+    if directed:
+        b = jnp.reshape(intercept, (C, 2))
+        b_in_row = jnp.broadcast_to(b[:, 0:1], (C, n_pad))
+        b_out_row = jnp.broadcast_to(b[:, 1:2], (C, n_pad))
+        radii_row = jnp.pad(jnp.reshape(radii, (C, n)),
+                            ((0, 0), (0, pad)), constant_values=1.0)
+    else:
+        b_in_row = jnp.broadcast_to(jnp.reshape(intercept, (C, 1)),
+                                    (C, n_pad))
+        b_out_row = jnp.zeros((C, n_pad), X.dtype)
+        radii_row = jnp.ones((C, n_pad), X.dtype)
+
+    rows = [b_in_row, b_out_row,
             jnp.broadcast_to(tau_arr[:, None], (C, n_pad)),
             jnp.broadcast_to(sig_arr[:, None], (C, n_pad)),
-            jnp.broadcast_to(lam[:, None], (C, n_pad))]
-    rows += [jnp.zeros((C, n_pad), X.dtype)] * 4             # pad to 8 rows
+            jnp.broadcast_to(lam[:, None], (C, n_pad)),
+            radii_row]
+    rows += [jnp.zeros((C, n_pad), X.dtype)] * 2             # pad to 8 rows
     params = jnp.stack(rows, axis=1).astype(X.dtype)         # (C, 8, n_pad)
 
-    max_c = _vmem_max_chains(T, n_pad)
+    max_c = _vmem_max_chains(T, n_pad, directed)
     operands = (x_l, step_p, eps_l, u_l, muz, sigz, params)
+    call = functools.partial(_call_kernel, mixture=mixture,
+                             directed=directed, n_real=n, interpret=interpret)
 
     if C <= max_c:
-        x_out, acc = _call_kernel(Y_p, operands, mixture=mixture,
-                                  interpret=interpret)
+        x_out, acc = call(Y_p, YT_p, operands)
     else:
         groups = -(-C // max_c)
         C_pad = groups * max_c
@@ -311,8 +367,7 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
         def one_group(chunk):
             # regroup() moved the group axis to the front of each operand,
             # so every chunk already has the kernel's layout
-            return _call_kernel(Y_p, chunk, mixture=mixture,
-                                interpret=interpret)
+            return call(Y_p, YT_p, chunk)
 
         x_out, acc = jax.lax.map(one_group, xs)
         # x_out (groups, d, max_c, T, n) -> (d, C_pad, T, n)
@@ -326,16 +381,19 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
 
 @functools.partial(jax.jit, static_argnames=('mixture', 'interpret'))
 def _node_scan_with_noise(Y, X, intercept, step_size, eps, log_u, *,
-                          tau_sq=0.0, sigma_sq=1.0,
+                          tau_sq=0.0, sigma_sq=1.0, radii=None,
                           mu=None, sigma=None, lmbda=None, z=None,
                           mixture=False, interpret=False):
     """Single-chain wrapper (adds C=1): same Markov kernel and proposal
     stream as :func:`dynetlsm_tpu.mcmc.latent.sample_latent_positions`."""
     X1 = X[None]
+    b = jnp.asarray(intercept, X.dtype)
+    b1 = b[None] if (radii is not None and b.ndim == 1) else jnp.reshape(b,
+                                                                         (1,))
     X_new, acc = node_scan_batch(
-        Y, X1, jnp.reshape(jnp.asarray(intercept, X.dtype), (1,)),
-        step_size[None], eps[None], log_u[None],
+        Y, X1, b1, step_size[None], eps[None], log_u[None],
         tau_sq=tau_sq, sigma_sq=sigma_sq,
+        radii=None if radii is None else radii[None],
         mu=None if mu is None else mu[None],
         sigma=None if sigma is None else sigma[None],
         lmbda=None if lmbda is None else jnp.reshape(
@@ -346,53 +404,66 @@ def _node_scan_with_noise(Y, X, intercept, step_size, eps, log_u, *,
 
 
 @functools.lru_cache(maxsize=None)
-def _custom_vmap_scan(mixture):
+def _custom_vmap_scan(mixture, directed=False):
     """custom_vmap wrapper: the driver vmaps the whole sweep over chains;
     this rule routes that batch axis into the kernel's chain dimension
     instead of a (sequential) Pallas grid."""
 
+    def b_shape(intercept, C):
+        return (jnp.reshape(intercept, (C, 2)) if directed
+                else jnp.reshape(intercept, (C,)))
+
     if mixture:
-        def single(Y, X, intercept, step, eps, log_u, mu, sigma, lmbda, z):
+        def single(Y, X, intercept, step, eps, log_u, radii, mu, sigma,
+                   lmbda, z):
             Xn, acc = node_scan_batch(
-                Y, X[None], jnp.reshape(intercept, (1,)), step[None],
+                Y, X[None], b_shape(intercept, 1), step[None],
                 eps[None], log_u[None], tau_sq=0.0, sigma_sq=1.0,
+                radii=radii[None] if directed else None,
                 mu=mu[None], sigma=sigma[None],
                 lmbda=jnp.reshape(lmbda, (1,)), z=z[None], mixture=True)
             return Xn[0], acc[0]
 
-        def batched(Y, X, intercept, step, eps, log_u, mu, sigma, lmbda, z):
+        def batched(Y, X, intercept, step, eps, log_u, radii, mu, sigma,
+                    lmbda, z):
             C = X.shape[0]
             return node_scan_batch(
-                Y, X, jnp.reshape(intercept, (C,)), step, eps, log_u,
-                tau_sq=0.0, sigma_sq=1.0, mu=mu, sigma=sigma,
+                Y, X, b_shape(intercept, C), step, eps, log_u,
+                tau_sq=0.0, sigma_sq=1.0,
+                radii=radii if directed else None, mu=mu, sigma=sigma,
                 lmbda=jnp.reshape(lmbda, (C,)), z=z, mixture=True)
     else:
-        def single(Y, X, intercept, step, eps, log_u, tau_sq, sigma_sq):
+        def single(Y, X, intercept, step, eps, log_u, radii, tau_sq,
+                   sigma_sq):
             Xn, acc = node_scan_batch(
-                Y, X[None], jnp.reshape(intercept, (1,)), step[None],
+                Y, X[None], b_shape(intercept, 1), step[None],
                 eps[None], log_u[None], tau_sq=tau_sq, sigma_sq=sigma_sq,
-                mixture=False)
+                radii=radii[None] if directed else None, mixture=False)
             return Xn[0], acc[0]
 
-        def batched(Y, X, intercept, step, eps, log_u, tau_sq, sigma_sq):
+        def batched(Y, X, intercept, step, eps, log_u, radii, tau_sq,
+                    sigma_sq):
             C = X.shape[0]
             return node_scan_batch(
-                Y, X, jnp.reshape(intercept, (C,)), step, eps, log_u,
+                Y, X, b_shape(intercept, C), step, eps, log_u,
                 tau_sq=jnp.broadcast_to(tau_sq, (C,))[0],
                 sigma_sq=jnp.broadcast_to(sigma_sq, (C,))[0],
-                mixture=False)
+                radii=radii if directed else None, mixture=False)
 
-    def xla_chain(Y, X, intercept, step, eps, log_u, *rest):
+    def xla_chain(Y, X, intercept, step, eps, log_u, radii, *rest):
         from ..mcmc.latent import xla_exact_scan
+        b = (jnp.reshape(intercept, (2,)) if directed
+             else jnp.reshape(intercept, (1,)))
+        r = radii if directed else None
         if mixture:
             mu, sigma, lmbda, z = rest
-            return xla_exact_scan(Y, X, jnp.reshape(intercept, (1,)), step,
-                                  eps, log_u, mu=mu, sigma=sigma,
-                                  lmbda=lmbda, z=z, mixture=True)
+            return xla_exact_scan(Y, X, b, step, eps, log_u, radii=r,
+                                  mu=mu, sigma=sigma, lmbda=lmbda, z=z,
+                                  is_directed=directed, mixture=True)
         tau_sq, sigma_sq = rest
-        return xla_exact_scan(Y, X, jnp.reshape(intercept, (1,)), step,
-                              eps, log_u, tau_sq=tau_sq, sigma_sq=sigma_sq,
-                              mixture=False)
+        return xla_exact_scan(Y, X, b, step, eps, log_u, radii=r,
+                              tau_sq=tau_sq, sigma_sq=sigma_sq,
+                              is_directed=directed, mixture=False)
 
     f = jax.custom_batching.custom_vmap(single)
 
@@ -406,7 +477,7 @@ def _custom_vmap_scan(mixture):
             for a, b in zip(args, arg_batched))
         T, n, d = args[0].shape[1:]
         n_pad = max(-(-n // 128) * 128, 128)
-        max_c = _vmem_max_chains(T, n_pad)
+        max_c = _vmem_max_chains(T, n_pad, directed)
         if y_batched:
             # per-chain networks (missing-data Gibbs): no shared-Y kernel,
             # fall back to mapping the single-chain program
@@ -424,19 +495,25 @@ def _custom_vmap_scan(mixture):
 
 
 def node_scan_dispatch(Y, X, intercept, step_size, eps, log_u, *,
-                       tau_sq=None, sigma_sq=None, mu=None, sigma=None,
-                       lmbda=None, z=None, mixture=False):
-    """Entry point used by mcmc.latent: batch-aware exact node scan."""
-    f = _custom_vmap_scan(mixture)
+                       tau_sq=None, sigma_sq=None, radii=None, mu=None,
+                       sigma=None, lmbda=None, z=None, mixture=False):
+    """Entry point used by mcmc.latent: batch-aware exact node scan.
+
+    ``intercept`` is the (1,)/(2,) intercept vector; ``radii`` (n,) selects
+    the directed likelihood."""
+    directed = radii is not None
+    f = _custom_vmap_scan(mixture, directed)
+    b = intercept if directed else intercept[0]
+    r = radii if directed else jnp.zeros((X.shape[1],), X.dtype)
     if mixture:
-        return f(Y, X, jnp.asarray(intercept, X.dtype), step_size, eps,
-                 log_u, mu, sigma, jnp.asarray(lmbda, X.dtype), z)
-    return f(Y, X, jnp.asarray(intercept, X.dtype), step_size, eps, log_u,
+        return f(Y, X, jnp.asarray(b, X.dtype), step_size, eps,
+                 log_u, r, mu, sigma, jnp.asarray(lmbda, X.dtype), z)
+    return f(Y, X, jnp.asarray(b, X.dtype), step_size, eps, log_u, r,
              jnp.asarray(tau_sq, X.dtype), jnp.asarray(sigma_sq, X.dtype))
 
 
 def node_scan_sweep_pallas(key, Y, X, intercept, step_size, *,
-                           tau_sq=0.0, sigma_sq=1.0,
+                           tau_sq=0.0, sigma_sq=1.0, radii=None,
                            mu=None, sigma=None, lmbda=None, z=None,
                            mixture=False, interpret=False):
     """One full exact node-scan sweep (draws its own proposal stream)."""
@@ -446,5 +523,5 @@ def node_scan_sweep_pallas(key, Y, X, intercept, step_size, *,
     log_u = jnp.log(jax.random.uniform(k_u, (2, n, T), X.dtype))
     return _node_scan_with_noise(
         Y, X, intercept, step_size, eps, log_u, tau_sq=tau_sq,
-        sigma_sq=sigma_sq, mu=mu, sigma=sigma, lmbda=lmbda, z=z,
-        mixture=mixture, interpret=interpret)
+        sigma_sq=sigma_sq, radii=radii, mu=mu, sigma=sigma, lmbda=lmbda,
+        z=z, mixture=mixture, interpret=interpret)

@@ -58,3 +58,77 @@ def test_pallas_scan_bitexact_mixture(rng):
     np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
     np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
                                atol=1e-6)
+
+
+def _setup_directed(rng, T=4, n=30, d=2):
+    X = rng.randn(T, n, d).astype(np.float32)
+    Y = rng.binomial(1, 0.2, (T, n, n)).astype(np.float32)
+    for t in range(T):
+        np.fill_diagonal(Y[t], 0)
+    radii = rng.dirichlet(np.ones(n)).astype(np.float32)
+    step = np.full((T, n), 0.05, np.float32)
+    eps = rng.randn(2, n, T, d).astype(np.float32)
+    log_u = np.log(rng.rand(2, n, T)).astype(np.float32)
+    return X, Y, radii, step, eps, log_u
+
+
+def test_pallas_scan_directed_lsm(rng):
+    """Directed social-radii kernel realises the same chain as the XLA scan
+    (reference directed_likelihoods_fast.pyx:46-80 likelihood)."""
+    X, Y, radii, step, eps, log_u = _setup_directed(rng)
+    b = np.array([0.4, 0.8], np.float32)
+    X_xla, acc_xla = sample_latent_positions(
+        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
+        jnp.asarray(b), jnp.asarray(step), radii=jnp.asarray(radii),
+        tau_sq=2.0, sigma_sq=0.1, is_directed=True, mixture=False,
+        noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+    X_pal, acc_pal = _node_scan_with_noise(
+        jnp.asarray(Y), jnp.asarray(X), jnp.asarray(b), jnp.asarray(step),
+        jnp.asarray(eps), jnp.asarray(log_u), radii=jnp.asarray(radii),
+        tau_sq=2.0, sigma_sq=0.1, mixture=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
+    np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                               atol=1e-6)
+
+
+def test_pallas_scan_directed_mixture(rng):
+    X, Y, radii, step, eps, log_u = _setup_directed(rng)
+    T, n, d = X.shape
+    K = 3
+    mu = rng.randn(K, d).astype(np.float32)
+    sig = (rng.rand(K) + 0.3).astype(np.float32)
+    z = rng.randint(0, K, (T, n)).astype(np.int32)
+    b = np.array([0.4, 0.8], np.float32)
+    kwargs = dict(mu=jnp.asarray(mu), sigma=jnp.asarray(sig),
+                  lmbda=jnp.float32(0.8), z=jnp.asarray(z), mixture=True)
+    X_xla, acc_xla = sample_latent_positions(
+        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
+        jnp.asarray(b), jnp.asarray(step), radii=jnp.asarray(radii),
+        is_directed=True, noise=(jnp.asarray(eps), jnp.asarray(log_u)),
+        **kwargs)
+    X_pal, acc_pal = _node_scan_with_noise(
+        jnp.asarray(Y), jnp.asarray(X), jnp.asarray(b), jnp.asarray(step),
+        jnp.asarray(eps), jnp.asarray(log_u), radii=jnp.asarray(radii),
+        interpret=True, **kwargs)
+    np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
+    np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                               atol=1e-6)
+
+
+def test_pallas_scan_directed_negative_intercept(rng):
+    """Padded lanes must not leak into the likelihood even when an eta sign
+    flip makes softplus large at the +PAD distance (valid-lane mask)."""
+    X, Y, radii, step, eps, log_u = _setup_directed(rng, n=21)
+    b = np.array([-0.5, 0.3], np.float32)
+    X_xla, acc_xla = sample_latent_positions(
+        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
+        jnp.asarray(b), jnp.asarray(step), radii=jnp.asarray(radii),
+        tau_sq=2.0, sigma_sq=0.1, is_directed=True, mixture=False,
+        noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+    X_pal, acc_pal = _node_scan_with_noise(
+        jnp.asarray(Y), jnp.asarray(X), jnp.asarray(b), jnp.asarray(step),
+        jnp.asarray(eps), jnp.asarray(log_u), radii=jnp.asarray(radii),
+        tau_sq=2.0, sigma_sq=0.1, mixture=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
+    np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                               atol=1e-6)
