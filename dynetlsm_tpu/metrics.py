@@ -22,8 +22,16 @@ def network_auc(Y_true, Y_pred, is_directed=False, nan_mask=None):
 
 
 def out_of_sample_auc(y_true, y_pred, test_indices):
-    """Held-out dyad AUC on a train_test_split mask."""
+    """Held-out dyad AUC on a train_test_split mask.
+
+    ``y_pred`` is either the flat vector of held-out predictions (the
+    reference's ``missings_`` layout, reference hdp_lpcm.py:706) or a full
+    (T, n, n) prediction tensor such as this package's ``missings_``, which
+    is sliced to the held-out dyads here."""
     indices = triu_indices_from_3d(y_true, k=1)
+    y_pred = np.asarray(y_pred)
+    if y_pred.ndim == 3:
+        y_pred = y_pred[indices][test_indices]
     return roc_auc_score(np.asarray(y_true)[indices][test_indices], y_pred)
 
 
