@@ -16,7 +16,7 @@ if 'JAX_COMPILATION_CACHE_DIR' not in _os.environ:
             _os.path.expanduser('~'), '.cache', 'dynetlsm_tpu', 'jax_cache')
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update('jax_compilation_cache_dir', _cache)
-        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.2)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

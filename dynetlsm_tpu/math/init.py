@@ -128,33 +128,45 @@ def _neg_ll_directed(params, Y, dist, radii):
     return -directed_loglik_full(Y, dist, radii, params[0], params[1])
 
 
+def _host_cpu():
+    """The host CPU device: BFGS init runs dozens of tiny objective
+    evaluations, each a blocking round-trip if dispatched to a (possibly
+    remote) accelerator — on-host they are microseconds."""
+    try:
+        return jax.devices('cpu')[0]
+    except RuntimeError:  # pragma: no cover - cpu platform always present
+        return None
+
+
 def scale_intercept_mle(Y, X, tol=1e-4):
     """Joint MLE of a log-scale for X and the intercept (reference lsm.py:47-70)."""
-    dist = jnp.asarray(pairwise_distances(jnp.asarray(X, jnp.float32)))
-    Yj = jnp.asarray(Y, jnp.float32)
-    vg = jax.jit(jax.value_and_grad(_neg_ll_undirected))
+    with jax.default_device(_host_cpu()):
+        dist = jnp.asarray(pairwise_distances(jnp.asarray(X, jnp.float32)))
+        Yj = jnp.asarray(Y, jnp.float32)
+        vg = jax.jit(jax.value_and_grad(_neg_ll_undirected))
 
-    def fun(x):
-        v, g = vg(jnp.asarray(x, jnp.float32), Yj, dist)
-        return float(v), np.asarray(g, np.float64)
+        def fun(x):
+            v, g = vg(jnp.asarray(x, jnp.float32), Yj, dist)
+            return float(v), np.asarray(g, np.float64)
 
-    res = minimize(fun, x0=np.array([0.0, 1.0]), jac=True, method='BFGS',
-                   tol=tol)
+        res = minimize(fun, x0=np.array([0.0, 1.0]), jac=True, method='BFGS',
+                       tol=tol)
     return float(res.x[0]), float(res.x[1])
 
 
 def directed_intercept_mle(Y, X, radii, intercept_init=None, tol=1e-4):
     """MLE of (intercept_in, intercept_out) (reference lsm.py:73-97)."""
-    dist = jnp.asarray(pairwise_distances(jnp.asarray(X, jnp.float32)))
-    Yj = jnp.asarray(Y, jnp.float32)
-    rj = jnp.asarray(radii, jnp.float32)
-    vg = jax.jit(jax.value_and_grad(_neg_ll_directed))
+    with jax.default_device(_host_cpu()):
+        dist = jnp.asarray(pairwise_distances(jnp.asarray(X, jnp.float32)))
+        Yj = jnp.asarray(Y, jnp.float32)
+        rj = jnp.asarray(radii, jnp.float32)
+        vg = jax.jit(jax.value_and_grad(_neg_ll_directed))
 
-    def fun(x):
-        v, g = vg(jnp.asarray(x, jnp.float32), Yj, dist, rj)
-        return float(v), np.asarray(g, np.float64)
+        def fun(x):
+            v, g = vg(jnp.asarray(x, jnp.float32), Yj, dist, rj)
+            return float(v), np.asarray(g, np.float64)
 
-    x0 = (np.asarray(intercept_init, np.float64)
-          if intercept_init is not None else np.zeros(2))
-    res = minimize(fun, x0=x0, jac=True, method='BFGS', tol=tol)
+        x0 = (np.asarray(intercept_init, np.float64)
+              if intercept_init is not None else np.zeros(2))
+        res = minimize(fun, x0=x0, jac=True, method='BFGS', tol=tol)
     return float(res.x[0]), float(res.x[1])

@@ -6,6 +6,7 @@ the posterior traces.  Chains are embarrassingly parallel: the chain axis is
 vmapped and sharded across TPU devices over a 1-D ``chains`` mesh — no
 collectives are needed in the sweep body (SURVEY.md §5.8).
 """
+import functools
 import os
 
 import numpy as np
@@ -47,9 +48,15 @@ def shard_state(state, mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def replicate_state(state0, n_chains, key):
     """Broadcast a single-chain state pytree across a new leading chain axis
-    and give each chain its own PRNG key."""
+    and give each chain its own PRNG key.
+
+    Jitted as one program: the per-leaf broadcasts would otherwise each be
+    an eager dispatch (a compile + round-trip per leaf on a remote
+    accelerator backend).  NumPy leaves are accepted and land on device.
+    """
     keys = jax.random.split(key, n_chains)
     state = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n_chains,) + jnp.shape(x)), state0)

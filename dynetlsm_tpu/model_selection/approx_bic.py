@@ -76,6 +76,23 @@ def select_bic(Y, traces, n_burn, is_directed, n_features):
     counts = np.array([np.unique(zs[i].ravel()).shape[0]
                        for i in range(n_burn, S)])
 
+    # The per-K loop evaluates many tiny ragged-shape expressions; running
+    # them eagerly on a remote accelerator costs a dispatch round-trip per
+    # primitive.  Pin this post-processing to the host CPU backend (the
+    # arrays are K <= n_components sized — microseconds of compute).
+    import jax
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:  # pragma: no cover - cpu platform always present
+        cpu = None
+    with jax.default_device(cpu):
+        return _select_bic_body(Y, traces, n_burn, is_directed, n_features,
+                                zs, logps, counts)
+
+
+def _select_bic_body(Y, traces, n_burn, is_directed, n_features, zs, logps,
+                     counts):
+    T, n_nodes, _ = Y.shape
     Yj = jnp.asarray(Y, jnp.float32)
     bic, models = [], []
     for k in np.unique(counts):

@@ -220,33 +220,33 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
 
         state0 = MixtureState(
             key=jax.random.PRNGKey(rng.randint(0, 2**31 - 1)),
-            it=jnp.zeros((), jnp.int32),
+            it=np.zeros((), np.int32),
             X=to_device_f32(X0),
             intercept=to_device_f32(intercept0),
             radii=to_device_f32(radii0) if self.is_directed else None,
             Y=Y_dev if sample_missing else None,
-            z=jnp.asarray(z0, jnp.int32),
+            z=np.asarray(z0, np.int32),
             mu=to_device_f32(mu0), sigma=to_device_f32(sigma0),
-            lmbda=jnp.asarray(lmbda0, DTYPE),
+            lmbda=np.asarray(lmbda0, DTYPE),
             weights=to_device_f32(weights0),
             beta=to_device_f32(beta0),
-            gamma=jnp.asarray(float(self.gamma), DTYPE),
-            alpha_init=jnp.asarray(float(self.alpha_init), DTYPE),
-            alpha=jnp.asarray(float(self.alpha), DTYPE),
-            kappa=jnp.asarray(float(self.kappa), DTYPE),
+            gamma=np.asarray(float(self.gamma), DTYPE),
+            alpha_init=np.asarray(float(self.alpha_init), DTYPE),
+            alpha=np.asarray(float(self.alpha), DTYPE),
+            kappa=np.asarray(float(self.kappa), DTYPE),
             init_weights=None, trans_weights=None,
-            mean_var=jnp.asarray(self.mean_variance_prior_, DTYPE),
-            b_scale=jnp.asarray(self.b_, DTYPE),
-            step_X=jnp.full((T, n), self.step_size_X_, DTYPE),
-            acc_X=jnp.zeros((T, n), DTYPE),
-            step_int=jnp.full(intercept0.shape,
+            mean_var=np.asarray(self.mean_variance_prior_, DTYPE),
+            b_scale=np.asarray(self.b_, DTYPE),
+            step_X=np.full((T, n), self.step_size_X_, DTYPE),
+            acc_X=np.zeros((T, n), DTYPE),
+            step_int=np.full(intercept0.shape,
                               float(self.step_size_intercept), DTYPE),
-            acc_int=jnp.zeros(intercept0.shape, DTYPE),
-            step_radii=(jnp.asarray(float(self.step_size_radii), DTYPE)
+            acc_int=np.zeros(intercept0.shape, DTYPE),
+            step_radii=(np.asarray(float(self.step_size_radii), DTYPE)
                         if self.is_directed else None),
-            acc_radii=(jnp.zeros((), DTYPE) if self.is_directed else None),
-            logp=jnp.zeros((), DTYPE),
-            missing_sum=(jnp.zeros((T, n, n), DTYPE) if sample_missing
+            acc_radii=(np.zeros((), DTYPE) if self.is_directed else None),
+            logp=np.zeros((), DTYPE),
+            missing_sum=(np.zeros((T, n, n), DTYPE) if sample_missing
                          else None),
             ctrl_in=ctrl0[0] if ctrl0 else None,
             ctrl_out=ctrl0[1] if ctrl0 else None)

@@ -216,25 +216,31 @@ class DynamicNetworkLSM:
         X0 = to_device_f32(X)
         b0 = to_device_f32(intercept)
         r0 = to_device_f32(radii) if self.is_directed else None
-        dist0 = pairwise_distances(X0)
-        logp0 = _lsm_logp(cfg, Y_dev, X0, b0, r0, dist0,
-                          to_device_f32(intercept_prior))
+
+        # one jitted program (not ~15 eager dispatches) for the initial logp
+        @jax.jit
+        def _init_logp(Yd, Xd, bd, rd, prior):
+            return _lsm_logp(cfg, Yd, Xd, bd, rd, pairwise_distances(Xd),
+                             prior)
+
+        logp0 = _init_logp(Y_dev, X0, b0, r0,
+                           to_device_f32(intercept_prior))
         state0 = LSMState(
             key=jax.random.PRNGKey(rng.randint(0, 2**31 - 1)),
-            it=jnp.zeros((), jnp.int32),
+            it=np.zeros((), np.int32),
             X=X0, intercept=b0, radii=r0,
             Y=Y_dev if sample_missing else None,
-            step_X=jnp.full((T, n), float(self.step_size_X), DTYPE),
-            acc_X=jnp.zeros((T, n), DTYPE),
-            step_int=jnp.full(intercept.shape, float(self.step_size_intercept),
+            step_X=np.full((T, n), float(self.step_size_X), DTYPE),
+            acc_X=np.zeros((T, n), DTYPE),
+            step_int=np.full(intercept.shape, float(self.step_size_intercept),
                               DTYPE),
-            acc_int=jnp.zeros(intercept.shape, DTYPE),
-            step_radii=(jnp.asarray(float(self.step_size_radii), DTYPE)
+            acc_int=np.zeros(intercept.shape, DTYPE),
+            step_radii=(np.asarray(float(self.step_size_radii), DTYPE)
                         if self.is_directed else None),
-            acc_radii=(jnp.zeros((), DTYPE) if self.is_directed else None),
+            acc_radii=(np.zeros((), DTYPE) if self.is_directed else None),
             logp=logp0, logp_map=logp0, X_map=X0, intercept_map=b0,
             radii_map=r0, logp_ref=logp0, X_ref=X0,
-            missing_sum=(jnp.zeros((T, n, n), DTYPE) if sample_missing
+            missing_sum=(np.zeros((T, n, n), DTYPE) if sample_missing
                          else None),
             ctrl_in=ctrl0[0] if ctrl0 else None,
             ctrl_out=ctrl0[1] if ctrl0 else None)
