@@ -348,15 +348,18 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
     if C <= max_c:
         x_out, acc = call(Y_p, YT_p, operands)
     else:
+        # balance chains across groups: ceil(32/22)=2 groups run 16+16, not
+        # 22+22 with 12 dead padded chains of kernel compute
         groups = -(-C // max_c)
-        C_pad = groups * max_c
+        chunk_c = -(-C // groups)
+        C_pad = groups * chunk_c
 
         def regroup(a, axis):
             widths = [(0, 0)] * a.ndim
             widths[axis] = (0, C_pad - C)
             a = jnp.pad(a, widths)
             shape = list(a.shape)
-            shape[axis:axis + 1] = [groups, max_c]
+            shape[axis:axis + 1] = [groups, chunk_c]
             a = a.reshape(shape)
             return jnp.moveaxis(a, axis, 0)
 
@@ -370,7 +373,7 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
             return call(Y_p, YT_p, chunk)
 
         x_out, acc = jax.lax.map(one_group, xs)
-        # x_out (groups, d, max_c, T, n) -> (d, C_pad, T, n)
+        # x_out (groups, d, chunk_c, T, n) -> (d, C_pad, T, n)
         x_out = jnp.moveaxis(x_out, 0, 1).reshape(
             (x_out.shape[1], C_pad) + x_out.shape[3:])[:, :C]
         acc = acc.reshape((C_pad,) + acc.shape[2:])[:C]

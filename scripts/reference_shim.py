@@ -443,6 +443,31 @@ def sampson_hdp_stats():
     }
 
 
+def sampson_directed_lsm_stats():
+    """Directed Sampson LSM (social-radii model, lsm.py:392-397 init path)
+    — reference numbers for tests/test_equivalence_directed.py."""
+    ref = load_reference()
+    from dynetlsm.datasets import load_monks
+    Y, _, _ = load_monks(is_directed=True)
+    model = ref.DynamicNetworkLSM(n_iter=2000, tune=1000, burn=1000,
+                                  is_directed=True, random_state=42).fit(Y)
+    nb = model.n_burn_
+    b = model.intercepts_[nb:]
+    return {
+        'auc': round(float(model.auc_), 4),
+        'intercept_in_mean': round(float(b[:, 0].mean()), 4),
+        'intercept_in_sd': round(float(b[:, 0].std()), 4),
+        'intercept_out_mean': round(float(b[:, 1].mean()), 4),
+        'intercept_out_sd': round(float(b[:, 1].std()), 4),
+        'logp_mean': round(float(model.logps_[nb:].mean()), 3),
+        'logp_sd': round(float(model.logps_[nb:].std()), 3),
+        'radii_max_mean': round(
+            float(model.radiis_[nb:].max(axis=-1).mean()), 4),
+        'radii_max_sd': round(
+            float(model.radiis_[nb:].max(axis=-1).std()), 4),
+    }
+
+
 if __name__ == '__main__':
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
     out = {}
@@ -451,4 +476,7 @@ if __name__ == '__main__':
         print(json.dumps(out, indent=2))
     if which in ('all', 'hdp'):
         out['sampson_hdp'] = sampson_hdp_stats()
+        print(json.dumps(out, indent=2))
+    if which in ('all', 'directed'):
+        out['sampson_directed_lsm'] = sampson_directed_lsm_stats()
         print(json.dumps(out, indent=2))
