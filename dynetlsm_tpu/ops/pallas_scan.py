@@ -54,32 +54,48 @@ def _vmem_max_chains(T, n_pad, directed=False):
     t_pad = -(-T // 8) * 8
     n_adj = 2 if directed else 1
     y_bytes = n_adj * (T * n_pad * n_pad + 32 * n_pad * max(T, 8) * 4)
-    per_chain = 17 * t_pad * n_pad * 4
-    # budget probed empirically at T=10, n_pad=512: undirected 22 chains and
-    # directed 20 compile and run; 15.5 MB of the 16 MB/core keeps margin
-    return int(max(1, (15.5 * 2 ** 20 - y_bytes) // per_chain))
+    per_chain = 20 * t_pad * n_pad * 4
+    # per-chain cost measured from the compiler's scoped-vmem accounting at
+    # T=10, n_pad=512: 22 chains allocate 17.83 MB (~0.65 MB/chain ~= 20
+    # live buffers) and overflow the 16 MB core; 15 MB budget -> 17 fit
+    return int(max(1, (15.0 * 2 ** 20 - y_bytes) // per_chain))
 
 
-def _node_scan_kernel(params_ref, x_ref, y_ref, *refs, mixture, directed,
-                      n_real):
-    """params: (C, 8, n) lane rows
-    [b_in|b, b_out, tau_sq, sigma_sq, lmbda, radii] (pre-broadcast; scalar
-    rows are lane-constant, the radii row is lane-varying).
+def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
+                      mixture, directed, n_real, T_total):
+    """Phase-split layout: every per-time tensor is stored as an (even
+    times, odd times) pair of (·, C, Th, n) buffers, Th = ceil(T/2).
 
-    x / eps0 / eps1 / muz : (d, C, T, n)   (d leading => static slices)
-    y (+ yt when directed) : (T, n32, n) int8 (n32 = n padded to 32)
-    step / u0 / u1 / sigz : (C, T, n)
-    Outputs: x_out (d, C, T, n), acc (C, T, n).
+    Phase 0 of the chromatic scan only touches even time rows and phase 1
+    only odd rows, so the full-T formulation computed (and masked away)
+    half of every tile; the split halves all phase-local work and drops the
+    ``in_phase`` mask.  Temporal-prior neighbours cross parities: for even
+    rows prev = shift_down(odd), next = odd; for odd rows prev = even,
+    next = shift_up(even).  Bit-exact with the full-T kernel (the per-row
+    lane reductions and scalar ops are unchanged).
+
+    params: (C, 8, n) lane rows [b_in|b, b_out, tau_sq, sigma_sq, lmbda,
+    radii] (pre-broadcast; scalar rows lane-constant, radii lane-varying).
+    xE/xO, epsE/epsO, muzE/muzO : (d, C, Th, n); epsE holds phase 0's even
+    rows and epsO phase 1's odd rows (the other parities of each phase's
+    stream are never consumed).  yE/yO (+ytE/ytO) : (Th, n32, n) int8.
+    stepE/O, uE/O, sigzE/O : (C, Th, n).  Outputs: xE/xO (d, C, Th, n),
+    accE/accO (C, Th, n) — interleaved back to (T, ...) by the caller.
     """
     if directed:
-        (yt_ref, step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
-         sigz_ref, x_out_ref, acc_out_ref, block_ref, blockT_ref) = refs
+        (ytE_ref, ytO_ref, stepE_ref, stepO_ref, epsE_ref, epsO_ref,
+         uE_ref, uO_ref, muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
+         xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
+         blkE_ref, blkO_ref, blkTE_ref, blkTO_ref) = refs
     else:
-        (step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
-         sigz_ref, x_out_ref, acc_out_ref, block_ref) = refs
+        (stepE_ref, stepO_ref, epsE_ref, epsO_ref, uE_ref, uO_ref,
+         muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
+         xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
+         blkE_ref, blkO_ref) = refs
 
-    d, C, T, n = x_ref.shape
+    d, C, Th, n = xE_ref.shape
     f32 = jnp.float32
+    T = T_total
 
     params = params_ref[...]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)  # (1, 1, n)
@@ -99,64 +115,76 @@ def _node_scan_kernel(params_ref, x_ref, y_ref, *refs, mixture, directed,
     sigma_sq = scalar(3)
     lmbda = scalar(4)
 
-    t_col = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+    m_col = jax.lax.broadcasted_iota(jnp.int32, (1, Th, 1), 1)
+    # t == 0 lives on even row 0; t == T-1 on even row (T-1)//2 when T is
+    # odd, else on odd row T//2 - 1
+    first_mask = (m_col == 0)                                 # even half
+    if T % 2 == 1:
+        last_mask = ((m_col == (T - 1) // 2), (m_col < 0))
+    else:
+        last_mask = ((m_col < 0), (m_col == T // 2 - 1))
 
-    step = step_ref[...]
-    eps_phase = (eps0_ref[...], eps1_ref[...])               # (d, C, T, n)
-    u_phase = (u0_ref[...], u1_ref[...])                     # (C, T, n)
+    step = (stepE_ref[...], stepO_ref[...])
+    eps = (epsE_ref[...], epsO_ref[...])                     # (d, C, Th, n)
+    u = (uE_ref[...], uO_ref[...])                           # (C, Th, n)
     if mixture:
-        muz = muz_ref[...]                                   # (d, C, T, n)
-        sigz = sigz_ref[...]                                 # (C, T, n)
+        muz = (muzE_ref[...], muzO_ref[...])                 # (d, C, Th, n)
+        sigz = (sigzE_ref[...], sigzO_ref[...])              # (C, Th, n)
 
-    def shift_down(a):                                       # along T
+    def shift_down(a):                                       # along Th
         return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
 
-    def shift_up(a):
-        return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+    def shift_up(a, pad=0.0):
+        return jnp.concatenate(
+            [a[:, 1:], jnp.full_like(a[:, :1], pad)], axis=1)
 
-    def prior_terms(xq, xj, mu_j, sig_j):
-        """Log-prior of candidate xq given stale temporal neighbours from
-        xj; all inputs lists of d (C, T, 1) (sig_j (C, T, 1)).  Returns
-        (C, T, 1)."""
+    def prior_terms(parity, xq, xj_oth, mu_j, mu_oth, sig_j, sig_oth):
+        """Log-prior of candidate xq (list of d (C, Th, 1)) at this
+        parity's rows, temporal neighbours from the node's other-parity
+        trajectory xj_oth.  Returns (C, Th, 1)."""
+        last = last_mask[parity]
         back = 0.0
         fwd = 0.0
         if mixture:
-            sig_nxt = jnp.concatenate(
-                [sig_j[:, 1:], jnp.ones_like(sig_j[:, :1])], axis=1)
+            # sig at t+1: even rows -> odd sig; odd rows -> next even sig
+            sig_nxt = sig_oth if parity == 0 else shift_up(sig_oth, 1.0)
             for di in range(d):
-                prev = shift_down(xj[di])
-                nxt = shift_up(xj[di])
-                mu_nxt = shift_up(mu_j[di])
-                diff0 = xq[di] - mu_j[di]
+                prev = shift_down(xj_oth[di]) if parity == 0 else xj_oth[di]
+                nxt = xj_oth[di] if parity == 0 else shift_up(xj_oth[di])
+                mu_nxt = mu_oth[di] if parity == 0 \
+                    else shift_up(mu_oth[di])
                 difft = xq[di] - (1.0 - lmbda) * prev - lmbda * mu_j[di]
-                diff = jnp.where(t_col == 0, diff0, difft)
-                back = back + diff * diff
+                if parity == 0:
+                    diff0 = xq[di] - mu_j[di]
+                    difft = jnp.where(first_mask, diff0, difft)
+                back = back + difft * difft
                 fdiff = nxt - (1.0 - lmbda) * xq[di] - lmbda * mu_nxt
                 fwd = fwd + fdiff * fdiff
             back = -0.5 * back / sig_j
             fwd = -0.5 * fwd / sig_nxt
         else:
-            b0 = 0.0
             bt = 0.0
+            b0 = 0.0
             for di in range(d):
-                prev = shift_down(xj[di])
-                nxt = shift_up(xj[di])
+                prev = shift_down(xj_oth[di]) if parity == 0 else xj_oth[di]
+                nxt = xj_oth[di] if parity == 0 else shift_up(xj_oth[di])
                 b0 = b0 + xq[di] * xq[di]
                 bt = bt + (xq[di] - prev) ** 2
                 fwd = fwd + (nxt - xq[di]) ** 2
-            back = jnp.where(t_col == 0, -0.5 * b0 / tau_sq,
-                             -0.5 * bt / sigma_sq)
+            back = -0.5 * bt / sigma_sq
+            if parity == 0:
+                back = jnp.where(first_mask, -0.5 * b0 / tau_sq, back)
             fwd = -0.5 * fwd / sigma_sq
-        fwd = jnp.where(t_col == T - 1, 0.0, fwd)
-        return back + fwd                                    # (C, T, 1)
+        fwd = jnp.where(last, 0.0, fwd)
+        return back + fwd                                    # (C, Th, 1)
 
     def loglik_row(x, xq, y_row, yt_row, r_self, mask):
         """Sum over partners of the Bernoulli terms at candidate xq (list of
-        d (C, T, 1)); x the full field (list of d (C, T, n)).  Returns
-        (C, T, 1)."""
+        d (C, Th, 1)); x the parity's field (list of d (C, Th, n)).  Returns
+        (C, Th, 1)."""
         d2 = 0.0
         for di in range(d):
-            diff = x[di] - xq[di]                            # (C, T, n)
+            diff = x[di] - xq[di]                            # (C, Th, n)
             d2 = d2 + diff * diff
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
         if directed:
@@ -169,53 +197,63 @@ def _node_scan_kernel(params_ref, x_ref, y_ref, *refs, mixture, directed,
             ll = y_row * eta_out - jax.nn.softplus(eta_out)
             ll += yt_row * eta_in - jax.nn.softplus(eta_in)
         else:
-            eta = b_in - dist                                # (C, T, n)
+            eta = b_in - dist                                # (C, Th, n)
             ll = y_row * eta - jax.nn.softplus(eta)
         return jnp.sum(ll * mask, axis=2, keepdims=True)
 
-    def node_step(j, y_row, yt_row, x, acc):
-        """One node's two-phase MH update.  y_row/yt_row: (1, T, n) f32."""
+    def node_step(j, y_rows, yt_rows, xs, accs):
+        """One node's two-phase MH update.  y_rows/yt_rows: per-parity
+        (1, Th, n) f32; xs/accs: per-parity field lists."""
         onehot = (lane == j).astype(f32)                     # (1, 1, n)
         mask = (1.0 - onehot) * valid
 
-        def gather(a):                                       # (C,T,n)->(C,T,1)
+        def gather(a):                                     # (C,Th,n)->(C,Th,1)
             return jnp.sum(a * onehot, axis=2, keepdims=True)
 
-        step_j = gather(step)
         r_self = gather(radii) if directed else None         # (C, 1, 1)
         if mixture:
-            mu_j = [gather(muz[di]) for di in range(d)]
-            sig_j = gather(sigz)
+            mu_j = [[gather(muz[p][di]) for di in range(d)] for p in (0, 1)]
+            sig_j = [gather(sigz[p]) for p in (0, 1)]
         else:
-            mu_j = sig_j = None
+            mu_j = sig_j = (None, None)
 
-        ll_cur = None
-        for phase in (0, 1):
-            xj = [gather(x[di]) for di in range(d)]
-            eps_j = [gather(eps_phase[phase][di]) for di in range(d)]
-            u_j = gather(u_phase[phase])
+        # phase 0 gathers both parities of node j's trajectory; phase 1
+        # reuses them from registers (phase 0's accepted even values are
+        # exactly what a re-gather after its scatter would return)
+        xj_even = [gather(xs[0][di]) for di in range(d)]
+        xj_odd = [gather(xs[1][di]) for di in range(d)]
+        for parity in (0, 1):
+            x_self = xs[parity]
+            xj = xj_even if parity == 0 else xj_odd
+            xj_oth = xj_odd if parity == 0 else xj_even
+            eps_j = [gather(eps[parity][di]) for di in range(d)]
+            u_j = gather(u[parity])
+            step_j = gather(step[parity])
             x_prop = [xj[di] + step_j * eps_j[di] for di in range(d)]
 
-            ll_prop = loglik_row(x, x_prop, y_row, yt_row, r_self, mask)
-            if ll_cur is None:
-                ll_cur = loglik_row(x, xj, y_row, yt_row, r_self, mask)
+            ll_prop = loglik_row(x_self, x_prop, y_rows[parity],
+                                 yt_rows[parity], r_self, mask)
+            ll_cur = loglik_row(x_self, xj, y_rows[parity],
+                                yt_rows[parity], r_self, mask)
+            mu_oth = mu_j[1 - parity] if mixture else None
             ratio = (ll_prop - ll_cur
-                     + prior_terms(x_prop, xj, mu_j, sig_j)
-                     - prior_terms(xj, xj, mu_j, sig_j))     # (C, T, 1)
-            in_phase = (t_col % 2) == phase
-            accept = jnp.logical_and(u_j < ratio, in_phase)  # (C, T, 1)
-            # phase 1 sees the same partner field at node j's row, so the
-            # accepted candidate's row log-lik is next phase's current
-            ll_cur = jnp.where(accept, ll_prop, ll_cur)
+                     + prior_terms(parity, x_prop, xj_oth, mu_j[parity],
+                                   mu_oth, sig_j[parity], sig_j[1 - parity])
+                     - prior_terms(parity, xj, xj_oth, mu_j[parity],
+                                   mu_oth, sig_j[parity], sig_j[1 - parity]))
+            accept = u_j < ratio                             # (C, Th, 1)
             for di in range(d):
                 x_new = jnp.where(accept, x_prop[di], xj[di])
-                x[di] = x[di] * (1.0 - onehot) + x_new * onehot
-            acc = acc + accept.astype(f32) * onehot
-        return x, acc
+                x_self[di] = (x_self[di] * (1.0 - onehot) + x_new * onehot)
+                xj[di] = x_new          # phase 1's even neighbours
+            accs[parity] = accs[parity] + accept.astype(f32) * onehot
+        return xs, accs
 
-    x0 = [x_ref[di] for di in range(d)]
-    acc0 = jnp.zeros((C, T, n), f32)
-    n32 = y_ref.shape[1]
+    xE0 = [xE_ref[di] for di in range(d)]
+    xO0 = [xO_ref[di] for di in range(d)]
+    accE0 = jnp.zeros((C, Th, n), f32)
+    accO0 = jnp.zeros((C, Th, n), f32)
+    n32 = yE_ref.shape[1]
 
     # Adjacency row supply: int8 dynamic sublane slices must be 32-aligned,
     # so rows come in three levels — stage a 32-row block (aligned) into an
@@ -224,52 +262,114 @@ def _node_scan_kernel(params_ref, x_ref, y_ref, *refs, mixture, directed,
     # mosaic compile time; value-level dynamic_slice is unsupported.
     def block_body(b, carry):
         j0 = b * 32
-        block_ref[...] = y_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
+        blkE_ref[...] = yE_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
+                               :].astype(f32)
+        blkO_ref[...] = yO_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
                                :].astype(f32)
         if directed:
-            blockT_ref[...] = yt_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
+            blkTE_ref[...] = ytE_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
+                                     :].astype(f32)
+            blkTO_ref[...] = ytO_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
                                      :].astype(f32)
 
         def sub_body(m, carry):
-            x, acc = carry
-            sub = block_ref[:, pl.ds(m * 8, 8), :]           # (T, 8, n)
-            subT = blockT_ref[:, pl.ds(m * 8, 8), :] if directed else None
+            xs, accs = carry
+            subE = blkE_ref[:, pl.ds(m * 8, 8), :]           # (Th, 8, n)
+            subO = blkO_ref[:, pl.ds(m * 8, 8), :]
+            subTE = blkTE_ref[:, pl.ds(m * 8, 8), :] if directed else None
+            subTO = blkTO_ref[:, pl.ds(m * 8, 8), :] if directed else None
             for k in range(8):                               # static unroll
-                y_row = sub[:, k, :][None]                   # (1, T, n)
-                yt_row = subT[:, k, :][None] if directed else None
-                x, acc = node_step(j0 + m * 8 + k, y_row, yt_row, x, acc)
-            return x, acc
+                y_rows = (subE[:, k, :][None], subO[:, k, :][None])
+                yt_rows = ((subTE[:, k, :][None], subTO[:, k, :][None])
+                           if directed else (None, None))
+                xs, accs = node_step(j0 + m * 8 + k, y_rows, yt_rows,
+                                     xs, accs)
+            return xs, accs
 
         return jax.lax.fori_loop(0, 4, sub_body, carry)
 
     # padded nodes (n_real <= j < n32) are no-ops: their step/eps/log_u are
     # zero-padded so x_prop == x_cur and log_u(=0) < ratio(=0) rejects
-    x_fin, acc_fin = jax.lax.fori_loop(0, n32 // 32, block_body, (x0, acc0))
+    (xE_fin, xO_fin), (accE_fin, accO_fin) = jax.lax.fori_loop(
+        0, n32 // 32, block_body, ([xE0, xO0], [accE0, accO0]))
     for di in range(d):
-        x_out_ref[di] = x_fin[di]
-    acc_out_ref[...] = acc_fin
+        xE_out_ref[di] = xE_fin[di]
+        xO_out_ref[di] = xO_fin[di]
+    accE_out_ref[...] = accE_fin
+    accO_out_ref[...] = accO_fin
+
+
+def _split_parity(a, axis, T, Th):
+    """Slice ``a`` into (even, odd) halves along the time ``axis``, padding
+    the odd half to Th rows (zeros) when T is odd."""
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(0, None, 2)
+    even = a[tuple(idx)]
+    idx[axis] = slice(1, None, 2)
+    odd = a[tuple(idx)]
+    if odd.shape[axis] < Th:
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, Th - odd.shape[axis])
+        odd = jnp.pad(odd, widths)
+    return even, odd
+
+
+def _interleave_parity(even, odd, axis, T):
+    """Inverse of :func:`_split_parity`."""
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(even.shape)
+    shape[axis] = even.shape[axis] * 2
+    out = stacked.reshape(shape)
+    idx = [slice(None)] * out.ndim
+    idx[axis] = slice(0, T)
+    return out[tuple(idx)]
 
 
 def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     x_l, step_p, eps_l, u_l, muz, sigz, params = chunk
     d, C, T, n_pad = x_l.shape
-    n_in = 11 if directed else 10
-    scratch = [pltpu.VMEM((T, 32, n_pad), jnp.float32)]
+    Th = -(-T // 2)
+
+    xE, xO = _split_parity(x_l, 2, T, Th)
+    stepE, stepO = _split_parity(step_p, 1, T, Th)
+    # each phase consumes only its own parity of its proposal stream
+    epsE, _ = _split_parity(eps_l[0], 2, T, Th)
+    _, epsO = _split_parity(eps_l[1], 2, T, Th)
+    uE, _ = _split_parity(u_l[:, 0], 1, T, Th)
+    _, uO = _split_parity(u_l[:, 1], 1, T, Th)
+    muzE, muzO = _split_parity(muz, 2, T, Th)
+    sigzE, sigzO = _split_parity(sigz, 1, T, Th)
+    # odd-half sublane pads must keep sig away from 0 (divisor)
+    if T % 2 == 1:
+        sigzO = sigzO.at[:, Th - 1].set(1.0)
+
+    yE, yO = _split_parity(Y_p, 0, T, Th)
     if directed:
-        scratch.append(pltpu.VMEM((T, 32, n_pad), jnp.float32))
-    adj = (Y_p, YT_p) if directed else (Y_p,)
-    return pl.pallas_call(
+        ytE, ytO = _split_parity(YT_p, 0, T, Th)
+        adj = (yE, yO, ytE, ytO)
+    else:
+        adj = (yE, yO)
+
+    n_in = 17 if directed else 15
+    scratch = [pltpu.VMEM((Th, 32, n_pad), jnp.float32)] * (4 if directed
+                                                            else 2)
+    out_shape = (jax.ShapeDtypeStruct((d, C, Th, n_pad), x_l.dtype),
+                 jax.ShapeDtypeStruct((d, C, Th, n_pad), x_l.dtype),
+                 jax.ShapeDtypeStruct((C, Th, n_pad), x_l.dtype),
+                 jax.ShapeDtypeStruct((C, Th, n_pad), x_l.dtype))
+    xE_n, xO_n, accE, accO = pl.pallas_call(
         functools.partial(_node_scan_kernel, mixture=mixture,
-                          directed=directed, n_real=n_real),
+                          directed=directed, n_real=n_real, T_total=T),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((d, C, T, n_pad), x_l.dtype),
-                   jax.ShapeDtypeStruct((C, T, n_pad), x_l.dtype)),
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(params, x_l, *adj, step_p, eps_l[0], eps_l[1],
-      u_l[:, 0], u_l[:, 1], muz, sigz)
+    )(params, xE, xO, *adj, stepE, stepO, epsE, epsO, uE, uO, muzE, muzO,
+      sigzE, sigzO)
+    x_out = _interleave_parity(xE_n, xO_n, 2, T)
+    acc = _interleave_parity(accE, accO, 1, T)
+    return x_out, acc
 
 
 def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,

@@ -106,6 +106,53 @@ def main():
     results['CRF tables+mbar (exact)'] = timeit(
         jax.jit(jax.vmap(tables_exact)), state)
 
+    # remaining Gibbs blocks (weights, conjugates, lambda, logp assembly)
+    from dynetlsm_tpu.math.distributions import sample_dirichlet
+    from dynetlsm_tpu.mcmc.conjugate import (
+        sample_cluster_means, sample_cluster_variances, sample_lambda,
+        sample_mean_variance_hyper, sample_sigma_scale_hyper)
+    from dynetlsm_tpu.mcmc.labels import sample_labels_block as _slb
+
+    def _resp(s):
+        return jax.nn.one_hot(s.z, K, dtype=s.X.dtype)
+
+    def weights_block(s):
+        conc = (s.alpha * s.beta[None, None, :]
+                + s.kappa * jnp.eye(K)[None]
+                + jnp.ones((T - 1, K, K)))
+        return sample_dirichlet(s.key, conc)
+    results['weights dirichlet (T-1,K,K)'] = timeit(
+        jax.jit(jax.vmap(weights_block)), state)
+
+    def conj_block(s):
+        resp = _resp(s)
+        nk = resp.sum(axis=(0, 1))
+        mu = sample_cluster_means(s.key, s.X, resp, nk, s.sigma, s.lmbda,
+                                  s.mean_var)
+        sigma = sample_cluster_variances(s.key, s.X, resp, nk, mu, s.lmbda,
+                                         2.0, s.b_scale)
+        lmbda = sample_lambda(s.key, s.X, s.z, mu, sigma, 0.9, 0.01)
+        return mu, sigma, lmbda
+    results['conjugate mu/sigma/lambda'] = timeit(
+        jax.jit(jax.vmap(conj_block)), state)
+
+    from dynetlsm_tpu.mcmc.sweeps import (
+        _latent_mixture_loglik, _count_chain_loglik)
+    from dynetlsm_tpu.math.distributions import dirichlet_logpdf
+
+    def logp_block(s):
+        resp = _resp(s)
+        nk = resp.sum(axis=(0, 1))
+        ll = _latent_mixture_loglik(s.X, s.z, s.mu, s.sigma, s.lmbda,
+                                    resp=resp)
+        ll += jnp.sum(dirichlet_logpdf(
+            s.weights[1:],
+            jnp.broadcast_to(s.alpha * s.beta[None, None, :]
+                             + s.kappa * jnp.eye(K)[None],
+                             (T - 1, K, K))))
+        return ll
+    results['logp assembly'] = timeit(jax.jit(jax.vmap(logp_block)), state)
+
     # distances + loglik passes
     dist_fn = jax.jit(jax.vmap(lambda s: pairwise_distances(s.X)))
     results['pairwise distances'] = timeit(dist_fn, state)

@@ -132,3 +132,44 @@ def test_pallas_scan_directed_negative_intercept(rng):
     np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
     np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
                                atol=1e-6)
+
+def test_pallas_scan_bitexact_odd_T(rng):
+    """Odd T exercises the phase-split kernel's padded odd half and the
+    even-half t==T-1 forward-term mask."""
+    for T in (3, 5):
+        X, Y, step, eps, log_u = _setup(rng, T=T)
+        X_xla, acc_xla = sample_latent_positions(
+            jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
+            jnp.ones(1), jnp.asarray(step), tau_sq=2.0, sigma_sq=0.1,
+            mixture=False, noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+        X_pal, acc_pal = _node_scan_with_noise(
+            jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
+            jnp.asarray(eps), jnp.asarray(log_u), tau_sq=2.0, sigma_sq=0.1,
+            mixture=False, interpret=True)
+        np.testing.assert_array_equal(np.asarray(acc_xla),
+                                      np.asarray(acc_pal))
+        np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                                   atol=1e-6)
+
+
+def test_pallas_scan_mixture_odd_T(rng):
+    """Odd-T mixture: the cross-parity mu/sigma neighbour plumbing and the
+    padded odd half's sig divisor guard."""
+    X, Y, step, eps, log_u = _setup(rng, T=5)
+    T, n, d = X.shape
+    K = 3
+    mu = rng.randn(K, d).astype(np.float32)
+    sig = (rng.rand(K) + 0.3).astype(np.float32)
+    z = rng.randint(0, K, (T, n)).astype(np.int32)
+    kwargs = dict(mu=jnp.asarray(mu), sigma=jnp.asarray(sig),
+                  lmbda=jnp.float32(0.8), z=jnp.asarray(z), mixture=True)
+    X_xla, acc_xla = sample_latent_positions(
+        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X), jnp.ones(1),
+        jnp.asarray(step), noise=(jnp.asarray(eps), jnp.asarray(log_u)),
+        **kwargs)
+    X_pal, acc_pal = _node_scan_with_noise(
+        jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
+        jnp.asarray(eps), jnp.asarray(log_u), interpret=True, **kwargs)
+    np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
+    np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                               atol=1e-6)
