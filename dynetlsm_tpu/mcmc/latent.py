@@ -207,14 +207,18 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
 
     # On TPU the exact scan (undirected and directed social-radii) runs as
     # one fused Pallas kernel (same Markov kernel and proposal stream;
-    # ~20x less dispatch overhead at large n).  Falls back to the XLA
-    # fori_loop on other backends, under case-control, or when the padded
-    # adjacency tiles (two for directed: Y and Y^T) would overflow VMEM.
+    # ~20x less dispatch overhead at large n).  The adjacency is streamed
+    # from HBM, so the kernel applies whenever at least one chain's
+    # position/noise buffers fit VMEM (n up to ~4000 at T=10).  Falls back
+    # to the XLA fori_loop on other backends or under case-control.
     n_pad = max(-(-n // 128) * 128, 128)
-    adj_budget = T * n_pad * n_pad * (8 if is_directed else 4)
     if (scheme == 'exact' and cc is None
-            and jax.default_backend() == 'tpu'
-            and adj_budget < 12 * 2 ** 20):
+            and jax.default_backend() == 'tpu'):
+        from ..ops.pallas_scan import _vmem_max_chains
+        use_pallas = _vmem_max_chains(T, n_pad, is_directed) >= 1
+    else:
+        use_pallas = False
+    if use_pallas:
         from ..ops.pallas_scan import node_scan_dispatch
         return node_scan_dispatch(
             Y, X, intercept, step_size, eps, log_u,

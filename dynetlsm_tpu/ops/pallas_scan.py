@@ -45,19 +45,22 @@ _PAD_POS = 1.0e4
 def _vmem_max_chains(T, n_pad, directed=False):
     """How many chains fit one kernel invocation.
 
-    Fixed cost: int8 adjacency (T, n_pad, n_pad) (twice when directed: Y
-    and Y^T) plus (T, 32, n_pad) f32 block copies.  Per chain: ~17 live
-    (C, T, n) f32 buffers (x/eps/u/muz/sigz/step/params/outputs +
-    temporaries) at sublane-padded T, fitted empirically: 16 chains compile
-    at T=10/n_pad=512, 24 overflow VMEM.
+    The adjacency is streamed from HBM, so the fixed VMEM cost is only the
+    double-buffered int8 block scratch plus the f32 stage per adjacency
+    tensor (2 tensors per parity pair when directed: Y and Y^T).  Per
+    chain: ~20 live (C, Th, n) f32 half-buffer pairs (x/eps/u/muz/sigz/
+    step/outputs + temporaries) at sublane-padded Th, measured from the
+    compiler's scoped-vmem accounting at T=10, n_pad=512.
     """
-    t_pad = -(-T // 8) * 8
-    n_adj = 2 if directed else 1
-    y_bytes = n_adj * (T * n_pad * n_pad + 32 * n_pad * max(T, 8) * 4)
-    per_chain = 20 * t_pad * n_pad * 4
-    # per-chain cost measured from the compiler's scoped-vmem accounting at
-    # T=10, n_pad=512: 22 chains allocate 17.83 MB (~0.65 MB/chain ~= 20
-    # live buffers) and overflow the 16 MB core; 15 MB budget -> 17 fit
+    th_pad = -(-(-(-T // 2)) // 8) * 8
+    t_pad = 2 * th_pad
+    n_adj = 4 if directed else 2
+    y_bytes = n_adj * (2 * th_pad * 32 * n_pad + th_pad * 32 * n_pad * 4)
+    # two-point fit of the compiler's scoped-vmem accounting: ~16 live
+    # (C, Th, n) f32 half-buffer pairs plus a ~128 KB fixed per-chain
+    # stack/spill cost (T=10/n_pad=512 -> 649 KB/chain; T=3/n_pad=128 ->
+    # 254 KB/chain)
+    per_chain = 16 * t_pad * n_pad * 4 + (1 << 17)
     return int(max(1, (15.0 * 2 ** 20 - y_bytes) // per_chain))
 
 
@@ -86,12 +89,14 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
         (ytE_ref, ytO_ref, stepE_ref, stepO_ref, epsE_ref, epsO_ref,
          uE_ref, uO_ref, muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
          xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
-         blkE_ref, blkO_ref, blkTE_ref, blkTO_ref) = refs
+         blkE_ref, blkO_ref, blkTE_ref, blkTO_ref,
+         stageE_ref, stageO_ref, stageTE_ref, stageTO_ref, sem_ref) = refs
     else:
         (stepE_ref, stepO_ref, epsE_ref, epsO_ref, uE_ref, uO_ref,
          muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
          xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
-         blkE_ref, blkO_ref) = refs
+         blkE_ref, blkO_ref, stageE_ref, stageO_ref, sem_ref) = refs
+        stageTE_ref = stageTO_ref = None
 
     d, C, Th, n = xE_ref.shape
     f32 = jnp.float32
@@ -254,30 +259,54 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     accE0 = jnp.zeros((C, Th, n), f32)
     accO0 = jnp.zeros((C, Th, n), f32)
     n32 = yE_ref.shape[1]
+    n_blocks = n32 // 32
 
-    # Adjacency row supply: int8 dynamic sublane slices must be 32-aligned,
-    # so rows come in three levels — stage a 32-row block (aligned) into an
-    # f32 VMEM scratch, take 8-row ref subslices (8-aligned, dynamic), and
-    # statically unroll the final 8 rows.  Full 32-way unrolling explodes
-    # mosaic compile time; value-level dynamic_slice is unsupported.
+    # Adjacency row supply (streamed): the int8 adjacency stays in HBM and
+    # 32-node row blocks are DMA'd into a double-buffered VMEM scratch one
+    # block ahead of the scan (the per-block compute of 32 node steps dwarfs
+    # the ~us copy, so the stream is fully hidden).  This removes the
+    # T x n^2 VMEM residency that previously capped the kernel at n ~ 700
+    # (PLAN round-2 item b); the limit is now the (C, Th, n) position/noise
+    # buffers (~n 8000 single-chain).  Within a block, rows come in three
+    # levels — convert the int8 block to an f32 stage (sublane-aligned),
+    # take 8-row ref subslices, and statically unroll the final 8 rows
+    # (full 32-way unrolling explodes mosaic compile time; value-level
+    # dynamic_slice is unsupported).
+    hbm_refs = (yE_ref, yO_ref) + ((ytE_ref, ytO_ref) if directed else ())
+    dbufs = (blkE_ref, blkO_ref) + ((blkTE_ref, blkTO_ref) if directed
+                                    else ())
+
+    def dma(i, slot, b):
+        return pltpu.make_async_copy(
+            hbm_refs[i].at[:, pl.ds(b * 32, 32), :],
+            dbufs[i].at[slot], sem_ref.at[i, slot])
+
+    for i in range(len(hbm_refs)):
+        dma(i, 0, 0).start()
+
     def block_body(b, carry):
         j0 = b * 32
-        blkE_ref[...] = yE_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
-                               :].astype(f32)
-        blkO_ref[...] = yO_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
-                               :].astype(f32)
-        if directed:
-            blkTE_ref[...] = ytE_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
-                                     :].astype(f32)
-            blkTO_ref[...] = ytO_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
-                                     :].astype(f32)
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < n_blocks)
+        def _():
+            for i in range(len(hbm_refs)):
+                dma(i, 1 - slot, b + 1).start()
+
+        for i in range(len(hbm_refs)):
+            dma(i, slot, b).wait()
+
+        stages = (stageE_ref, stageO_ref) + ((stageTE_ref, stageTO_ref)
+                                             if directed else ())
+        for i in range(len(hbm_refs)):
+            stages[i][...] = dbufs[i][slot].astype(f32)
 
         def sub_body(m, carry):
             xs, accs = carry
-            subE = blkE_ref[:, pl.ds(m * 8, 8), :]           # (Th, 8, n)
-            subO = blkO_ref[:, pl.ds(m * 8, 8), :]
-            subTE = blkTE_ref[:, pl.ds(m * 8, 8), :] if directed else None
-            subTO = blkTO_ref[:, pl.ds(m * 8, 8), :] if directed else None
+            subE = stageE_ref[:, pl.ds(m * 8, 8), :]         # (Th, 8, n)
+            subO = stageO_ref[:, pl.ds(m * 8, 8), :]
+            subTE = stageTE_ref[:, pl.ds(m * 8, 8), :] if directed else None
+            subTO = stageTO_ref[:, pl.ds(m * 8, 8), :] if directed else None
             for k in range(8):                               # static unroll
                 y_rows = (subE[:, k, :][None], subO[:, k, :][None])
                 yt_rows = ((subTE[:, k, :][None], subTO[:, k, :][None])
@@ -291,7 +320,7 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     # padded nodes (n_real <= j < n32) are no-ops: their step/eps/log_u are
     # zero-padded so x_prop == x_cur and log_u(=0) < ratio(=0) rejects
     (xE_fin, xO_fin), (accE_fin, accO_fin) = jax.lax.fori_loop(
-        0, n32 // 32, block_body, ([xE0, xO0], [accE0, accO0]))
+        0, n_blocks, block_body, ([xE0, xO0], [accE0, accO0]))
     for di in range(d):
         xE_out_ref[di] = xE_fin[di]
         xO_out_ref[di] = xO_fin[di]
@@ -350,9 +379,15 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     else:
         adj = (yE, yO)
 
-    n_in = 17 if directed else 15
-    scratch = [pltpu.VMEM((Th, 32, n_pad), jnp.float32)] * (4 if directed
-                                                            else 2)
+    n_adj = 4 if directed else 2
+    # adjacency stays in HBM (streamed by block inside the kernel); all
+    # other operands are VMEM-resident
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_adj
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10)
+    scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * n_adj
+               + [pltpu.VMEM((Th, 32, n_pad), jnp.float32)] * n_adj
+               + [pltpu.SemaphoreType.DMA((n_adj, 2))])
     out_shape = (jax.ShapeDtypeStruct((d, C, Th, n_pad), x_l.dtype),
                  jax.ShapeDtypeStruct((d, C, Th, n_pad), x_l.dtype),
                  jax.ShapeDtypeStruct((C, Th, n_pad), x_l.dtype),
@@ -360,7 +395,7 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     xE_n, xO_n, accE, accO = pl.pallas_call(
         functools.partial(_node_scan_kernel, mixture=mixture,
                           directed=directed, n_real=n_real, T_total=T),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        in_specs=in_specs,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
         out_shape=out_shape,
         scratch_shapes=scratch,
