@@ -215,7 +215,8 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     if (scheme == 'exact' and cc is None
             and jax.default_backend() == 'tpu'):
         from ..ops.pallas_scan import _vmem_max_chains
-        use_pallas = _vmem_max_chains(T, n_pad, is_directed) >= 1
+        use_pallas = _vmem_max_chains(T, n_pad, is_directed,
+                                      clamp=False) >= 1
     else:
         use_pallas = False
     if use_pallas:

@@ -166,9 +166,11 @@ class MixtureModelMixin:
         for s0 in range(0, S, chunk):
             s1 = min(s0 + chunk, S)
             pad = chunk - (s1 - s0)
-            Xc = np.concatenate([Xs_flat[s0:s1], Xs_flat[:pad]]) \
+            # zero-pad the final partial batch to the fixed chunk size (one
+            # compiled program; padded rows' results are discarded)
+            Xc = np.pad(Xs_flat[s0:s1], ((0, pad),) + ((0, 0),) * 3) \
                 if pad else Xs_flat[s0:s1]
-            mc = np.concatenate([mus_flat[s0:s1], mus_flat[:pad]]) \
+            mc = np.pad(mus_flat[s0:s1], ((0, pad),) + ((0, 0),) * 2) \
                 if pad else mus_flat[s0:s1]
             Xr, mr = align_chunk(jnp.asarray(Xc), jnp.asarray(mc))
             out_X[s0:s1] = np.asarray(Xr)[:s1 - s0]

@@ -42,8 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 _PAD_POS = 1.0e4
 
 
-def _vmem_max_chains(T, n_pad, directed=False):
-    """How many chains fit one kernel invocation.
+def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
+    """How many chains fit one kernel invocation (``clamp=False`` returns
+    the raw capacity, which is 0 when not even one chain fits — the
+    dispatch gate uses that to fall back to the XLA scan).
 
     The adjacency is streamed from HBM, so the fixed VMEM cost is only the
     double-buffered int8 block scratch plus the f32 stage per adjacency
@@ -61,7 +63,10 @@ def _vmem_max_chains(T, n_pad, directed=False):
     # stack/spill cost (T=10/n_pad=512 -> 649 KB/chain; T=3/n_pad=128 ->
     # 254 KB/chain)
     per_chain = 16 * t_pad * n_pad * 4 + (1 << 17)
-    return int(max(1, (15.0 * 2 ** 20 - y_bytes) // per_chain))
+    raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
+    if not clamp:
+        return raw                 # 0 => not even one chain fits VMEM
+    return max(1, raw)
 
 
 def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
