@@ -36,6 +36,7 @@ def _yule_walker(x, order):
     x = np.asarray(x, dtype=np.float64)
     x = x - x.mean()
     n = x.shape[0]
+    order = min(order, n - 1)      # lags >= n have no overlapping samples
     r = np.zeros(order + 1)
     r[0] = np.dot(x, x) / n
     for k in range(1, order + 1):
