@@ -42,26 +42,47 @@ from jax.experimental.pallas import tpu as pltpu
 _PAD_POS = 1.0e4
 
 
+def _use_fullT(T, n_pad, directed=False):
+    """Whether the full-T (VMEM-resident adjacency) kernel variant should
+    serve this shape.
+
+    For T <= 8 both time halves of the phase-split layout pad to 8
+    sublanes, doubling every tile's compute versus one 8-padded full-T
+    buffer — so small-T shapes (the shipped real datasets: T = 3..6) keep
+    the original layout as long as the int8 adjacency (plus its f32 block
+    stage) affordably fits VMEM.
+    """
+    if T > 8:
+        return False
+    n_adj = 2 if directed else 1
+    y_bytes = n_adj * (T * n_pad * n_pad + 32 * n_pad * 8 * 4)
+    return y_bytes < 8 * 2 ** 20
+
+
 def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
     """How many chains fit one kernel invocation (``clamp=False`` returns
     the raw capacity, which is 0 when not even one chain fits — the
     dispatch gate uses that to fall back to the XLA scan).
 
-    The adjacency is streamed from HBM, so the fixed VMEM cost is only the
-    double-buffered int8 block scratch plus the f32 stage per adjacency
-    tensor (2 tensors per parity pair when directed: Y and Y^T).  Per
-    chain: ~20 live (C, Th, n) f32 half-buffer pairs (x/eps/u/muz/sigz/
-    step/outputs + temporaries) at sublane-padded Th, measured from the
-    compiler's scoped-vmem accounting at T=10, n_pad=512.
+    Phase-split variant: the adjacency is streamed from HBM, so the fixed
+    VMEM cost is only the double-buffered int8 block scratch plus the f32
+    stage per adjacency tensor (2 tensors per parity pair when directed).
+    Full-T variant (T <= 8): the int8 adjacency is VMEM-resident.  Per
+    chain both variants carry ~16 live (C, ·, n) f32 buffers plus a
+    ~128 KB fixed stack/spill cost — a two-point fit of the compiler's
+    scoped-vmem accounting (T=10/n_pad=512 -> 649 KB/chain;
+    T=3/n_pad=128 -> 254 KB/chain).
     """
-    th_pad = -(-(-(-T // 2)) // 8) * 8
-    t_pad = 2 * th_pad
-    n_adj = 4 if directed else 2
-    y_bytes = n_adj * (2 * th_pad * 32 * n_pad + th_pad * 32 * n_pad * 4)
-    # two-point fit of the compiler's scoped-vmem accounting: ~16 live
-    # (C, Th, n) f32 half-buffer pairs plus a ~128 KB fixed per-chain
-    # stack/spill cost (T=10/n_pad=512 -> 649 KB/chain; T=3/n_pad=128 ->
-    # 254 KB/chain)
+    if _use_fullT(T, n_pad, directed):
+        t_pad = 8
+        n_adj = 2 if directed else 1
+        y_bytes = n_adj * (T * n_pad * n_pad + 32 * n_pad * 8 * 4)
+    else:
+        th_pad = -(-(-(-T // 2)) // 8) * 8
+        t_pad = 2 * th_pad
+        n_adj = 4 if directed else 2
+        y_bytes = n_adj * (2 * th_pad * 32 * n_pad
+                           + th_pad * 32 * n_pad * 4)
     per_chain = 16 * t_pad * n_pad * 4 + (1 << 17)
     raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
     if not clamp:
@@ -333,6 +354,222 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     accO_out_ref[...] = accO_fin
 
 
+def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
+                      n_real):
+    """Full-T variant used when T <= 8 (see _use_fullT): one
+    8-padded (C, T, n) buffer per tensor beats two 8-padded halves.
+    Adjacency is VMEM-resident (small T keeps it affordable).
+
+    params: (C, 8, n) lane rows
+    [b_in|b, b_out, tau_sq, sigma_sq, lmbda, radii] (pre-broadcast; scalar
+    rows are lane-constant, the radii row is lane-varying).
+
+    x / eps0 / eps1 / muz : (d, C, T, n)   (d leading => static slices)
+    y (+ yt when directed) : (T, n32, n) int8 (n32 = n padded to 32)
+    step / u0 / u1 / sigz : (C, T, n)
+    Outputs: x_out (d, C, T, n), acc (C, T, n).
+    """
+    if directed:
+        (yt_ref, step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
+         sigz_ref, x_out_ref, acc_out_ref, block_ref, blockT_ref) = refs
+    else:
+        (step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
+         sigz_ref, x_out_ref, acc_out_ref, block_ref) = refs
+
+    d, C, T, n = x_ref.shape
+    f32 = jnp.float32
+
+    params = params_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)  # (1, 1, n)
+    onehot0 = (lane == 0).astype(f32)
+    valid = (lane < n_real).astype(f32)                       # real lanes
+
+    def scalar(row):
+        # per-chain scalar as (C, 1, 1): params rows are lane-constant
+        return jnp.sum(params[:, row:row + 1, :] * onehot0, axis=2,
+                       keepdims=True)
+
+    b_in = params[:, 0:1, :]                                  # (C, 1, n)
+    if directed:
+        b_out = params[:, 1:2, :]
+        radii = params[:, 5:6, :]                             # (C, 1, n)
+    tau_sq = scalar(2)
+    sigma_sq = scalar(3)
+    lmbda = scalar(4)
+
+    t_col = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+
+    step = step_ref[...]
+    eps_phase = (eps0_ref[...], eps1_ref[...])               # (d, C, T, n)
+    u_phase = (u0_ref[...], u1_ref[...])                     # (C, T, n)
+    if mixture:
+        muz = muz_ref[...]                                   # (d, C, T, n)
+        sigz = sigz_ref[...]                                 # (C, T, n)
+
+    def shift_down(a):                                       # along T
+        return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+
+    def shift_up(a):
+        return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+
+    def prior_terms(xq, xj, mu_j, sig_j):
+        """Log-prior of candidate xq given stale temporal neighbours from
+        xj; all inputs lists of d (C, T, 1) (sig_j (C, T, 1)).  Returns
+        (C, T, 1)."""
+        back = 0.0
+        fwd = 0.0
+        if mixture:
+            sig_nxt = jnp.concatenate(
+                [sig_j[:, 1:], jnp.ones_like(sig_j[:, :1])], axis=1)
+            for di in range(d):
+                prev = shift_down(xj[di])
+                nxt = shift_up(xj[di])
+                mu_nxt = shift_up(mu_j[di])
+                diff0 = xq[di] - mu_j[di]
+                difft = xq[di] - (1.0 - lmbda) * prev - lmbda * mu_j[di]
+                diff = jnp.where(t_col == 0, diff0, difft)
+                back = back + diff * diff
+                fdiff = nxt - (1.0 - lmbda) * xq[di] - lmbda * mu_nxt
+                fwd = fwd + fdiff * fdiff
+            back = -0.5 * back / sig_j
+            fwd = -0.5 * fwd / sig_nxt
+        else:
+            b0 = 0.0
+            bt = 0.0
+            for di in range(d):
+                prev = shift_down(xj[di])
+                nxt = shift_up(xj[di])
+                b0 = b0 + xq[di] * xq[di]
+                bt = bt + (xq[di] - prev) ** 2
+                fwd = fwd + (nxt - xq[di]) ** 2
+            back = jnp.where(t_col == 0, -0.5 * b0 / tau_sq,
+                             -0.5 * bt / sigma_sq)
+            fwd = -0.5 * fwd / sigma_sq
+        fwd = jnp.where(t_col == T - 1, 0.0, fwd)
+        return back + fwd                                    # (C, T, 1)
+
+    def loglik_row(x, xq, y_row, yt_row, r_self, mask):
+        """Sum over partners of the Bernoulli terms at candidate xq (list of
+        d (C, T, 1)); x the full field (list of d (C, T, n)).  Returns
+        (C, T, 1)."""
+        d2 = 0.0
+        for di in range(d):
+            diff = x[di] - xq[di]                            # (C, T, n)
+            d2 = d2 + diff * diff
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+        if directed:
+            # reference directed_likelihoods_fast.pyx:46-80 —
+            # eta for j -> partner: b_in (1 - d/r_partner) + b_out (1 - d/r_j)
+            eta_out = (b_in * (1.0 - dist / radii)
+                       + b_out * (1.0 - dist / r_self))
+            eta_in = (b_in * (1.0 - dist / r_self)
+                      + b_out * (1.0 - dist / radii))
+            ll = y_row * eta_out - jax.nn.softplus(eta_out)
+            ll += yt_row * eta_in - jax.nn.softplus(eta_in)
+        else:
+            eta = b_in - dist                                # (C, T, n)
+            ll = y_row * eta - jax.nn.softplus(eta)
+        return jnp.sum(ll * mask, axis=2, keepdims=True)
+
+    def node_step(j, y_row, yt_row, x, acc):
+        """One node's two-phase MH update.  y_row/yt_row: (1, T, n) f32."""
+        onehot = (lane == j).astype(f32)                     # (1, 1, n)
+        mask = (1.0 - onehot) * valid
+
+        def gather(a):                                       # (C,T,n)->(C,T,1)
+            return jnp.sum(a * onehot, axis=2, keepdims=True)
+
+        step_j = gather(step)
+        r_self = gather(radii) if directed else None         # (C, 1, 1)
+        if mixture:
+            mu_j = [gather(muz[di]) for di in range(d)]
+            sig_j = gather(sigz)
+        else:
+            mu_j = sig_j = None
+
+        ll_cur = None
+        for phase in (0, 1):
+            xj = [gather(x[di]) for di in range(d)]
+            eps_j = [gather(eps_phase[phase][di]) for di in range(d)]
+            u_j = gather(u_phase[phase])
+            x_prop = [xj[di] + step_j * eps_j[di] for di in range(d)]
+
+            ll_prop = loglik_row(x, x_prop, y_row, yt_row, r_self, mask)
+            if ll_cur is None:
+                ll_cur = loglik_row(x, xj, y_row, yt_row, r_self, mask)
+            ratio = (ll_prop - ll_cur
+                     + prior_terms(x_prop, xj, mu_j, sig_j)
+                     - prior_terms(xj, xj, mu_j, sig_j))     # (C, T, 1)
+            in_phase = (t_col % 2) == phase
+            accept = jnp.logical_and(u_j < ratio, in_phase)  # (C, T, 1)
+            # phase 1 sees the same partner field at node j's row, so the
+            # accepted candidate's row log-lik is next phase's current
+            ll_cur = jnp.where(accept, ll_prop, ll_cur)
+            for di in range(d):
+                x_new = jnp.where(accept, x_prop[di], xj[di])
+                x[di] = x[di] * (1.0 - onehot) + x_new * onehot
+            acc = acc + accept.astype(f32) * onehot
+        return x, acc
+
+    x0 = [x_ref[di] for di in range(d)]
+    acc0 = jnp.zeros((C, T, n), f32)
+    n32 = y_ref.shape[1]
+
+    # Adjacency row supply: int8 dynamic sublane slices must be 32-aligned,
+    # so rows come in three levels — stage a 32-row block (aligned) into an
+    # f32 VMEM scratch, take 8-row ref subslices (8-aligned, dynamic), and
+    # statically unroll the final 8 rows.  Full 32-way unrolling explodes
+    # mosaic compile time; value-level dynamic_slice is unsupported.
+    def block_body(b, carry):
+        j0 = b * 32
+        block_ref[...] = y_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
+                               :].astype(f32)
+        if directed:
+            blockT_ref[...] = yt_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
+                                     :].astype(f32)
+
+        def sub_body(m, carry):
+            x, acc = carry
+            sub = block_ref[:, pl.ds(m * 8, 8), :]           # (T, 8, n)
+            subT = blockT_ref[:, pl.ds(m * 8, 8), :] if directed else None
+            for k in range(8):                               # static unroll
+                y_row = sub[:, k, :][None]                   # (1, T, n)
+                yt_row = subT[:, k, :][None] if directed else None
+                x, acc = node_step(j0 + m * 8 + k, y_row, yt_row, x, acc)
+            return x, acc
+
+        return jax.lax.fori_loop(0, 4, sub_body, carry)
+
+    # padded nodes (n_real <= j < n32) are no-ops: their step/eps/log_u are
+    # zero-padded so x_prop == x_cur and log_u(=0) < ratio(=0) rejects
+    x_fin, acc_fin = jax.lax.fori_loop(0, n32 // 32, block_body, (x0, acc0))
+    for di in range(d):
+        x_out_ref[di] = x_fin[di]
+    acc_out_ref[...] = acc_fin
+
+
+def _call_kernel_fullT(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
+    x_l, step_p, eps_l, u_l, muz, sigz, params = chunk
+    d, C, T, n_pad = x_l.shape
+    n_in = 11 if directed else 10
+    scratch = [pltpu.VMEM((T, 32, n_pad), jnp.float32)]
+    if directed:
+        scratch.append(pltpu.VMEM((T, 32, n_pad), jnp.float32))
+    adj = (Y_p, YT_p) if directed else (Y_p,)
+    return pl.pallas_call(
+        functools.partial(_node_scan_kernel_fullT, mixture=mixture,
+                          directed=directed, n_real=n_real),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((d, C, T, n_pad), x_l.dtype),
+                   jax.ShapeDtypeStruct((C, T, n_pad), x_l.dtype)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(params, x_l, *adj, step_p, eps_l[0], eps_l[1],
+      u_l[:, 0], u_l[:, 1], muz, sigz)
+
+
 def _split_parity(a, axis, T, Th):
     """Slice ``a`` into (even, odd) halves along the time ``axis``, padding
     the odd half to Th rows (zeros) when T is odd."""
@@ -362,6 +599,10 @@ def _interleave_parity(even, odd, axis, T):
 def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     x_l, step_p, eps_l, u_l, muz, sigz, params = chunk
     d, C, T, n_pad = x_l.shape
+    if _use_fullT(T, n_pad, directed):
+        return _call_kernel_fullT(Y_p, YT_p, chunk, mixture=mixture,
+                                  directed=directed, n_real=n_real,
+                                  interpret=interpret)
     Th = -(-T // 2)
 
     xE, xO = _split_parity(x_l, 2, T, Th)

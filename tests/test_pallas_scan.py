@@ -173,3 +173,50 @@ def test_pallas_scan_mixture_odd_T(rng):
     np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
     np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
                                atol=1e-6)
+
+
+def test_pallas_scan_phase_split_large_T(rng):
+    """T > 8 routes to the phase-split streamed kernel (T <= 8 uses the
+    full-T variant, ops/pallas_scan._use_fullT); both parities of T must
+    stay bit-exact with the XLA scan."""
+    from dynetlsm_tpu.ops.pallas_scan import _use_fullT
+    assert _use_fullT(4, 128) and not _use_fullT(10, 128)
+    for T in (10, 11):
+        X, Y, step, eps, log_u = _setup(rng, T=T, n=20)
+        X_xla, acc_xla = sample_latent_positions(
+            jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
+            jnp.ones(1), jnp.asarray(step), tau_sq=2.0, sigma_sq=0.1,
+            mixture=False, noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+        X_pal, acc_pal = _node_scan_with_noise(
+            jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
+            jnp.asarray(eps), jnp.asarray(log_u), tau_sq=2.0, sigma_sq=0.1,
+            mixture=False, interpret=True)
+        np.testing.assert_array_equal(np.asarray(acc_xla),
+                                      np.asarray(acc_pal))
+        np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                                   atol=1e-6)
+
+
+def test_pallas_scan_phase_split_mixture_directed_large_T(rng):
+    """Directed mixture through the phase-split kernel (T=9)."""
+    X, Y, radii, step, eps, log_u = _setup_directed(rng, T=9, n=20)
+    T, n, d = X.shape
+    K = 3
+    mu = rng.randn(K, d).astype(np.float32)
+    sig = (rng.rand(K) + 0.3).astype(np.float32)
+    z = rng.randint(0, K, (T, n)).astype(np.int32)
+    b = np.array([0.4, 0.8], np.float32)
+    kwargs = dict(mu=jnp.asarray(mu), sigma=jnp.asarray(sig),
+                  lmbda=jnp.float32(0.8), z=jnp.asarray(z), mixture=True)
+    X_xla, acc_xla = sample_latent_positions(
+        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
+        jnp.asarray(b), jnp.asarray(step), radii=jnp.asarray(radii),
+        is_directed=True, noise=(jnp.asarray(eps), jnp.asarray(log_u)),
+        **kwargs)
+    X_pal, acc_pal = _node_scan_with_noise(
+        jnp.asarray(Y), jnp.asarray(X), jnp.asarray(b), jnp.asarray(step),
+        jnp.asarray(eps), jnp.asarray(log_u), radii=jnp.asarray(radii),
+        interpret=True, **kwargs)
+    np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
+    np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                               atol=1e-6)
