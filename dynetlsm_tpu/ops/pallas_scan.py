@@ -867,9 +867,11 @@ def _custom_vmap_scan(mixture, directed=False):
             # fall back to mapping the single-chain program
             out = jax.lax.map(lambda ops: single(ops[0], *ops[1:]),
                               (Y,) + args)
-        elif n < 256 and axis_size > max_c:
+        elif n < 256 and axis_size > min(16, max_c):
             # small networks with many chains: XLA vectorises chains inside
-            # each node step, beating sequential lax.map kernel chunks
+            # each node step and wins past ~16 chains (measured dead heat
+            # at C=16 on Sampson; 1.8x XLA at C=64) — and always when the
+            # kernel would fall back to sequential lax.map chunks
             out = jax.vmap(lambda *a: xla_chain(Y, *a))(*args)
         else:
             out = batched(Y, *args)
