@@ -190,13 +190,15 @@ def main():
         run_ess(chunk)
         return
 
-    # mode == 'all': measure everything; the final printed line is the
-    # headline north-star record carrying the other results in "extra"
-    sampson = run_sampson(chunk)
-    ess = run_ess(chunk)
+    # mode == 'all': measure everything; each result prints as it lands
+    # (partial evidence survives an external timeout) and the FINAL line —
+    # the one the driver parses — is the headline Sampson aggregate
+    # carrying the north-star and ESS results in "extra"
     ns_chunk = int(os.environ.get('BENCH_NS_CHUNK', '50'))
     ns = run_northstar(ns_chunk)
-    emit(dict(ns, extra={'sampson_sweeps': sampson, 'sampson_ess': ess}))
+    ess = run_ess(chunk)
+    sampson = run_sampson(chunk)
+    emit(dict(sampson, extra={'northstar_sweeps': ns, 'sampson_ess': ess}))
 
 
 if __name__ == '__main__':
