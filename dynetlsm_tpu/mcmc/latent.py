@@ -193,6 +193,10 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     n_accepted : (T, n) float acceptance indicators for this sweep
     """
     if scheme == 'parallel':
+        if noise is not None:
+            raise ValueError(
+                "scheme='parallel' draws its own (T, n) proposal field; an "
+                "injected exact-scan noise stream cannot be honoured")
         return _parallel_site_update(key, Y, X, intercept, step_size, radii,
                                      tau_sq, sigma_sq, mu, sigma, lmbda, z,
                                      is_directed, mixture, cc=cc)

@@ -20,9 +20,11 @@ layout used 2 of 8 sublanes of every (d, n) tile (25% VPU utilisation) and
 padded each per-chain buffer 4x; (T, n) tiles at T=10 use 10 of 16 rows.
 Adjacency rows are consumed through a per-32-node block load (int8 sublane
 alignment) with *statically unrolled* row slices, replacing the per-step
-(T, 32, n) mask-reduction.  Phase 1 additionally reuses phase 0's accepted
-candidate log-likelihood row instead of recomputing it (identical floats:
-the partner field seen by node j is unchanged between phases).
+(T, 32, n) mask-reduction.  Two kernel variants share this structure
+(dispatch in _use_fullT): for T > 8 the phase-split layout (even/odd time
+halves, HBM-streamed adjacency); for T <= 8 the full-T layout
+(VMEM-resident adjacency, phase-1 reuse of phase 0's accepted
+log-likelihood row).
 
 Both the undirected and the **directed social-radii** likelihoods are
 supported (reference directed_likelihoods_fast.pyx:46-80): the directed
@@ -42,6 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 _PAD_POS = 1.0e4
 
 
+def _fullT_adj_bytes(T, n_pad, directed):
+    """VMEM footprint of the full-T variant's resident int8 adjacency plus
+    its f32 32-row block stage (doubled when directed: Y and Y^T)."""
+    n_adj = 2 if directed else 1
+    return n_adj * (T * n_pad * n_pad + 32 * n_pad * 8 * 4)
+
+
 def _use_fullT(T, n_pad, directed=False):
     """Whether the full-T (VMEM-resident adjacency) kernel variant should
     serve this shape.
@@ -52,11 +61,7 @@ def _use_fullT(T, n_pad, directed=False):
     the original layout as long as the int8 adjacency (plus its f32 block
     stage) affordably fits VMEM.
     """
-    if T > 8:
-        return False
-    n_adj = 2 if directed else 1
-    y_bytes = n_adj * (T * n_pad * n_pad + 32 * n_pad * 8 * 4)
-    return y_bytes < 8 * 2 ** 20
+    return T <= 8 and _fullT_adj_bytes(T, n_pad, directed) < 8 * 2 ** 20
 
 
 def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
@@ -75,8 +80,7 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
     """
     if _use_fullT(T, n_pad, directed):
         t_pad = 8
-        n_adj = 2 if directed else 1
-        y_bytes = n_adj * (T * n_pad * n_pad + 32 * n_pad * 8 * 4)
+        y_bytes = _fullT_adj_bytes(T, n_pad, directed)
     else:
         th_pad = -(-(-(-T // 2)) // 8) * 8
         t_pad = 2 * th_pad
@@ -830,8 +834,8 @@ def _custom_vmap_scan(mixture, directed=False):
             C = X.shape[0]
             return node_scan_batch(
                 Y, X, b_shape(intercept, C), step, eps, log_u,
-                tau_sq=jnp.broadcast_to(tau_sq, (C,))[0],
-                sigma_sq=jnp.broadcast_to(sigma_sq, (C,))[0],
+                tau_sq=jnp.broadcast_to(tau_sq, (C,)),
+                sigma_sq=jnp.broadcast_to(sigma_sq, (C,)),
                 radii=radii if directed else None, mixture=False)
 
     def xla_chain(Y, X, intercept, step, eps, log_u, radii, *rest):
@@ -862,11 +866,16 @@ def _custom_vmap_scan(mixture, directed=False):
         T, n, d = args[0].shape[1:]
         n_pad = max(-(-n // 128) * 128, 128)
         max_c = _vmem_max_chains(T, n_pad, directed)
-        if y_batched:
+        if y_batched and (n >= 256 or axis_size <= min(16, max_c)):
             # per-chain networks (missing-data Gibbs): no shared-Y kernel,
             # fall back to mapping the single-chain program
             out = jax.lax.map(lambda ops: single(ops[0], *ops[1:]),
                               (Y,) + args)
+        elif y_batched:
+            # small network, many per-chain networks: vectorised XLA beats
+            # a sequential map of single-chain kernels by orders of
+            # magnitude (same crossover as the shared-Y branch below)
+            out = jax.vmap(xla_chain)(Y, *args)
         elif n < 256 and axis_size > min(16, max_c):
             # small networks with many chains: XLA vectorises chains inside
             # each node step and wins past ~16 chains (measured dead heat
@@ -896,18 +905,3 @@ def node_scan_dispatch(Y, X, intercept, step_size, eps, log_u, *,
                  log_u, r, mu, sigma, jnp.asarray(lmbda, X.dtype), z)
     return f(Y, X, jnp.asarray(b, X.dtype), step_size, eps, log_u, r,
              jnp.asarray(tau_sq, X.dtype), jnp.asarray(sigma_sq, X.dtype))
-
-
-def node_scan_sweep_pallas(key, Y, X, intercept, step_size, *,
-                           tau_sq=0.0, sigma_sq=1.0, radii=None,
-                           mu=None, sigma=None, lmbda=None, z=None,
-                           mixture=False, interpret=False):
-    """One full exact node-scan sweep (draws its own proposal stream)."""
-    T, n, d = X.shape
-    k_eps, k_u = jax.random.split(key)
-    eps = jax.random.normal(k_eps, (2, n, T, d), X.dtype)
-    log_u = jnp.log(jax.random.uniform(k_u, (2, n, T), X.dtype))
-    return _node_scan_with_noise(
-        Y, X, intercept, step_size, eps, log_u, tau_sq=tau_sq,
-        sigma_sq=sigma_sq, radii=radii, mu=mu, sigma=sigma, lmbda=lmbda,
-        z=z, mixture=mixture, interpret=interpret)

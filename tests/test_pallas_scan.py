@@ -9,7 +9,19 @@ import jax
 import jax.numpy as jnp
 
 from dynetlsm_tpu.ops.pallas_scan import _node_scan_with_noise
-from dynetlsm_tpu.mcmc.latent import sample_latent_positions
+from dynetlsm_tpu.mcmc.latent import xla_exact_scan
+
+
+def _xla_ref(Y, X, intercept, step, eps, log_u, radii=None, **kw):
+    """The XLA fori_loop scan, called directly so the reference side never
+    routes through the Pallas dispatch (on a TPU backend the model-layer
+    entry point would select the kernel under test)."""
+    b = jnp.atleast_1d(jnp.asarray(intercept, jnp.float32))
+    return xla_exact_scan(
+        jnp.asarray(Y), jnp.asarray(X), b, jnp.asarray(step),
+        jnp.asarray(eps), jnp.asarray(log_u),
+        radii=None if radii is None else jnp.asarray(radii),
+        is_directed=radii is not None, **kw)
 
 
 def _setup(rng, T=4, n=30, d=2):
@@ -26,10 +38,8 @@ def _setup(rng, T=4, n=30, d=2):
 
 def test_pallas_scan_bitexact_lsm(rng):
     X, Y, step, eps, log_u = _setup(rng)
-    X_xla, acc_xla = sample_latent_positions(
-        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X), jnp.ones(1),
-        jnp.asarray(step), tau_sq=2.0, sigma_sq=0.1, mixture=False,
-        noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+    X_xla, acc_xla = _xla_ref(Y, X, 1.0, step, eps, log_u,
+                              tau_sq=2.0, sigma_sq=0.1, mixture=False)
     X_pal, acc_pal = _node_scan_with_noise(
         jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
         jnp.asarray(eps), jnp.asarray(log_u), tau_sq=2.0, sigma_sq=0.1,
@@ -48,10 +58,7 @@ def test_pallas_scan_bitexact_mixture(rng):
     z = rng.randint(0, K, (T, n)).astype(np.int32)
     kwargs = dict(mu=jnp.asarray(mu), sigma=jnp.asarray(sig),
                   lmbda=jnp.float32(0.8), z=jnp.asarray(z), mixture=True)
-    X_xla, acc_xla = sample_latent_positions(
-        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X), jnp.ones(1),
-        jnp.asarray(step), noise=(jnp.asarray(eps), jnp.asarray(log_u)),
-        **kwargs)
+    X_xla, acc_xla = _xla_ref(Y, X, 1.0, step, eps, log_u, **kwargs)
     X_pal, acc_pal = _node_scan_with_noise(
         jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
         jnp.asarray(eps), jnp.asarray(log_u), interpret=True, **kwargs)
@@ -77,11 +84,8 @@ def test_pallas_scan_directed_lsm(rng):
     (reference directed_likelihoods_fast.pyx:46-80 likelihood)."""
     X, Y, radii, step, eps, log_u = _setup_directed(rng)
     b = np.array([0.4, 0.8], np.float32)
-    X_xla, acc_xla = sample_latent_positions(
-        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
-        jnp.asarray(b), jnp.asarray(step), radii=jnp.asarray(radii),
-        tau_sq=2.0, sigma_sq=0.1, is_directed=True, mixture=False,
-        noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+    X_xla, acc_xla = _xla_ref(Y, X, b, step, eps, log_u, radii=radii,
+                              tau_sq=2.0, sigma_sq=0.1, mixture=False)
     X_pal, acc_pal = _node_scan_with_noise(
         jnp.asarray(Y), jnp.asarray(X), jnp.asarray(b), jnp.asarray(step),
         jnp.asarray(eps), jnp.asarray(log_u), radii=jnp.asarray(radii),
@@ -101,11 +105,8 @@ def test_pallas_scan_directed_mixture(rng):
     b = np.array([0.4, 0.8], np.float32)
     kwargs = dict(mu=jnp.asarray(mu), sigma=jnp.asarray(sig),
                   lmbda=jnp.float32(0.8), z=jnp.asarray(z), mixture=True)
-    X_xla, acc_xla = sample_latent_positions(
-        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
-        jnp.asarray(b), jnp.asarray(step), radii=jnp.asarray(radii),
-        is_directed=True, noise=(jnp.asarray(eps), jnp.asarray(log_u)),
-        **kwargs)
+    X_xla, acc_xla = _xla_ref(Y, X, b, step, eps, log_u, radii=radii,
+                              **kwargs)
     X_pal, acc_pal = _node_scan_with_noise(
         jnp.asarray(Y), jnp.asarray(X), jnp.asarray(b), jnp.asarray(step),
         jnp.asarray(eps), jnp.asarray(log_u), radii=jnp.asarray(radii),
@@ -120,11 +121,8 @@ def test_pallas_scan_directed_negative_intercept(rng):
     flip makes softplus large at the +PAD distance (valid-lane mask)."""
     X, Y, radii, step, eps, log_u = _setup_directed(rng, n=21)
     b = np.array([-0.5, 0.3], np.float32)
-    X_xla, acc_xla = sample_latent_positions(
-        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
-        jnp.asarray(b), jnp.asarray(step), radii=jnp.asarray(radii),
-        tau_sq=2.0, sigma_sq=0.1, is_directed=True, mixture=False,
-        noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+    X_xla, acc_xla = _xla_ref(Y, X, b, step, eps, log_u, radii=radii,
+                              tau_sq=2.0, sigma_sq=0.1, mixture=False)
     X_pal, acc_pal = _node_scan_with_noise(
         jnp.asarray(Y), jnp.asarray(X), jnp.asarray(b), jnp.asarray(step),
         jnp.asarray(eps), jnp.asarray(log_u), radii=jnp.asarray(radii),
@@ -134,14 +132,12 @@ def test_pallas_scan_directed_negative_intercept(rng):
                                atol=1e-6)
 
 def test_pallas_scan_bitexact_odd_T(rng):
-    """Odd T exercises the phase-split kernel's padded odd half and the
-    even-half t==T-1 forward-term mask."""
+    """Odd T at T <= 8 exercises the full-T kernel's t==T-1 masks (the
+    phase-split odd-half padding is covered by the T > 8 tests below)."""
     for T in (3, 5):
         X, Y, step, eps, log_u = _setup(rng, T=T)
-        X_xla, acc_xla = sample_latent_positions(
-            jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
-            jnp.ones(1), jnp.asarray(step), tau_sq=2.0, sigma_sq=0.1,
-            mixture=False, noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+        X_xla, acc_xla = _xla_ref(Y, X, 1.0, step, eps, log_u,
+                                  tau_sq=2.0, sigma_sq=0.1, mixture=False)
         X_pal, acc_pal = _node_scan_with_noise(
             jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
             jnp.asarray(eps), jnp.asarray(log_u), tau_sq=2.0, sigma_sq=0.1,
@@ -153,8 +149,7 @@ def test_pallas_scan_bitexact_odd_T(rng):
 
 
 def test_pallas_scan_mixture_odd_T(rng):
-    """Odd-T mixture: the cross-parity mu/sigma neighbour plumbing and the
-    padded odd half's sig divisor guard."""
+    """Odd-T mixture at T <= 8 (full-T kernel)."""
     X, Y, step, eps, log_u = _setup(rng, T=5)
     T, n, d = X.shape
     K = 3
@@ -163,10 +158,7 @@ def test_pallas_scan_mixture_odd_T(rng):
     z = rng.randint(0, K, (T, n)).astype(np.int32)
     kwargs = dict(mu=jnp.asarray(mu), sigma=jnp.asarray(sig),
                   lmbda=jnp.float32(0.8), z=jnp.asarray(z), mixture=True)
-    X_xla, acc_xla = sample_latent_positions(
-        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X), jnp.ones(1),
-        jnp.asarray(step), noise=(jnp.asarray(eps), jnp.asarray(log_u)),
-        **kwargs)
+    X_xla, acc_xla = _xla_ref(Y, X, 1.0, step, eps, log_u, **kwargs)
     X_pal, acc_pal = _node_scan_with_noise(
         jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
         jnp.asarray(eps), jnp.asarray(log_u), interpret=True, **kwargs)
@@ -183,10 +175,8 @@ def test_pallas_scan_phase_split_large_T(rng):
     assert _use_fullT(4, 128) and not _use_fullT(10, 128)
     for T in (10, 11):
         X, Y, step, eps, log_u = _setup(rng, T=T, n=20)
-        X_xla, acc_xla = sample_latent_positions(
-            jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
-            jnp.ones(1), jnp.asarray(step), tau_sq=2.0, sigma_sq=0.1,
-            mixture=False, noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+        X_xla, acc_xla = _xla_ref(Y, X, 1.0, step, eps, log_u,
+                                  tau_sq=2.0, sigma_sq=0.1, mixture=False)
         X_pal, acc_pal = _node_scan_with_noise(
             jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
             jnp.asarray(eps), jnp.asarray(log_u), tau_sq=2.0, sigma_sq=0.1,
@@ -208,15 +198,33 @@ def test_pallas_scan_phase_split_mixture_directed_large_T(rng):
     b = np.array([0.4, 0.8], np.float32)
     kwargs = dict(mu=jnp.asarray(mu), sigma=jnp.asarray(sig),
                   lmbda=jnp.float32(0.8), z=jnp.asarray(z), mixture=True)
-    X_xla, acc_xla = sample_latent_positions(
-        jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
-        jnp.asarray(b), jnp.asarray(step), radii=jnp.asarray(radii),
-        is_directed=True, noise=(jnp.asarray(eps), jnp.asarray(log_u)),
-        **kwargs)
+    X_xla, acc_xla = _xla_ref(Y, X, b, step, eps, log_u, radii=radii,
+                              **kwargs)
     X_pal, acc_pal = _node_scan_with_noise(
         jnp.asarray(Y), jnp.asarray(X), jnp.asarray(b), jnp.asarray(step),
         jnp.asarray(eps), jnp.asarray(log_u), radii=jnp.asarray(radii),
         interpret=True, **kwargs)
+    np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
+    np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                               atol=1e-6)
+
+
+def test_pallas_scan_phase_split_mixture_odd_T(rng):
+    """Undirected mixture through the phase-split kernel at odd T=11: the
+    padded odd half, its sig divisor guard, and the cross-parity mu/sigma
+    neighbour plumbing."""
+    X, Y, step, eps, log_u = _setup(rng, T=11, n=20)
+    T, n, d = X.shape
+    K = 3
+    mu = rng.randn(K, d).astype(np.float32)
+    sig = (rng.rand(K) + 0.3).astype(np.float32)
+    z = rng.randint(0, K, (T, n)).astype(np.int32)
+    kwargs = dict(mu=jnp.asarray(mu), sigma=jnp.asarray(sig),
+                  lmbda=jnp.float32(0.8), z=jnp.asarray(z), mixture=True)
+    X_xla, acc_xla = _xla_ref(Y, X, 1.0, step, eps, log_u, **kwargs)
+    X_pal, acc_pal = _node_scan_with_noise(
+        jnp.asarray(Y), jnp.asarray(X), 1.0, jnp.asarray(step),
+        jnp.asarray(eps), jnp.asarray(log_u), interpret=True, **kwargs)
     np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
     np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
                                atol=1e-6)
