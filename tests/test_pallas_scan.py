@@ -228,3 +228,28 @@ def test_pallas_scan_phase_split_mixture_odd_T(rng):
     np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal))
     np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
                                atol=1e-6)
+
+
+def test_vmem_capacity_gate():
+    """clamp=False exposes zero capacity at VMEM-exceeding shapes so the
+    dispatch gate can fall back to the XLA scan (review round-2 finding)."""
+    from dynetlsm_tpu.ops.pallas_scan import _vmem_max_chains
+    assert _vmem_max_chains(10, 512) >= 16            # north-star fits
+    assert _vmem_max_chains(10, 512, clamp=False) >= 16
+    big = _vmem_max_chains(10, 8192, clamp=False)     # beyond one chain
+    assert big <= 0
+    assert _vmem_max_chains(10, 8192) == 1            # clamped floor
+
+
+def test_parallel_scheme_rejects_injected_noise(rng):
+    """scheme='parallel' draws its own proposal field; silently ignoring an
+    exact-scan noise stream would break reproducibility contracts."""
+    import pytest
+    from dynetlsm_tpu.mcmc.latent import sample_latent_positions
+    X, Y, step, eps, log_u = _setup(rng, T=2, n=8)
+    with pytest.raises(ValueError, match='parallel'):
+        sample_latent_positions(
+            jax.random.PRNGKey(0), jnp.asarray(Y), jnp.asarray(X),
+            jnp.ones(1), jnp.asarray(step), tau_sq=2.0, sigma_sq=0.1,
+            mixture=False, scheme='parallel',
+            noise=(jnp.asarray(eps), jnp.asarray(log_u)))
