@@ -54,8 +54,16 @@ def generalized_mds(Y, n_features=2, is_directed=False, unweighted=True,
     D = np.stack([shortest_path_dissimilarity(Y[t], unweighted) for t in range(T)])
 
     X = np.empty((T, n, n_features))
-    X[0] = MDS(dissimilarity='precomputed', n_components=n_features,
-               random_state=random_state).fit_transform(D[0])
+    # sklearn >= 1.9 renamed dissimilarity= to metric= and will flip the
+    # default init to 'classical_mds' in 1.10; pin both (random init keeps
+    # the reference's SMACOF behaviour, latent_space.py:65)
+    try:
+        mds = MDS(metric='precomputed', init='random',
+                  n_components=n_features, random_state=random_state)
+    except TypeError:  # older sklearn without metric=/init=
+        mds = MDS(dissimilarity='precomputed', n_components=n_features,
+                  random_state=random_state)
+    X[0] = mds.fit_transform(D[0])
 
     H = np.eye(n) - np.full((n, n), 1.0 / n)
     a = 1.0 / (1.0 + lmbda)
