@@ -100,11 +100,13 @@ def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
 
         return jax.lax.fori_loop(0, n_samples, body, (state, buf))
 
-    return jax.jit(run, donate_argnums=(0,) if donate else ())
+    runner = jax.jit(run, donate_argnums=(0,) if donate else ())
+    runner.chunk = chunk    # collect_traces validates its chunk against this
+    return runner
 
 
 def collect_traces(runner, state, n_samples, chunk=512, progress=None,
-                   checkpoint_dir=None):
+                   checkpoint_dir=None, mesh=None):
     """Run ``n_samples`` recorded iterations in device chunks, off-loading
     each chunk's traces to host memory (replaces the reference's fully
     preallocated host trace arrays, hdp_lpcm.py:88-131).
@@ -112,30 +114,61 @@ def collect_traces(runner, state, n_samples, chunk=512, progress=None,
     With ``checkpoint_dir`` the sampler state and every trace chunk are
     persisted after each chunk, and an interrupted run resumes from the
     last completed chunk (the reference has no checkpointing at all,
-    SURVEY.md §5.3-5.4).
+    SURVEY.md §5.3-5.4).  Resume requires the checkpoint's structural
+    fingerprint (state leaf shapes/dtypes), ``n_samples``, and ``chunk``
+    to match; otherwise the directory's contents are cleared and the run
+    starts fresh (stale chunks from an earlier, incompatible run must
+    never be spliced into this run's traces).  ``mesh`` re-places a
+    resumed multi-chain state on the chains mesh.
 
     Returns (final_state, traces) where traces is a pytree of NumPy arrays
     with the sample axis leading.
     """
     from ..checkpoint import (
         save_state, load_state, save_traces_chunk, load_traces_chunks,
-        read_meta, write_meta)
+        read_meta, write_meta, state_fingerprint, clear_checkpoint)
+
+    runner_chunk = getattr(runner, 'chunk', None)
+    if runner_chunk is not None and runner_chunk != chunk:
+        raise ValueError(
+            'collect_traces chunk=%d does not match the runner\'s compiled '
+            'trace buffer (%d); out-of-range buffer writes would silently '
+            'clamp onto the last row' % (chunk, runner_chunk))
+
+    def place(st):
+        st = jax.tree.map(jnp.asarray, st)
+        return shard_state(st, mesh)
+
+    if n_samples <= 0:
+        # the runner donates its input state; return the (unadvanced)
+        # output state, with the trace pytree empty along the sample axis
+        state, tmpl = runner(place(state), 0)
+        return state, jax.tree.map(lambda y: np.asarray(y)[:0], tmpl)
 
     chunks = []
     done = 0
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
         meta = read_meta(checkpoint_dir)
+        fingerprint = state_fingerprint(state)
         if meta is not None and meta.get('n_samples') == n_samples \
-                and meta.get('chunk') == chunk and meta['n_done'] > 0:
-            state = load_state(os.path.join(checkpoint_dir, 'state.npz'),
-                               state)
+                and meta.get('chunk') == chunk and meta.get('n_done', 0) > 0 \
+                and meta.get('fingerprint') == fingerprint:
+            state_np = load_state(os.path.join(checkpoint_dir, 'state.npz'),
+                                  state)
             # a chunk template: run zero iterations to get trace shapes
-            _, tmpl = runner(jax.tree.map(jnp.asarray, state), 0)
+            # (the runner donates its input, so place a throwaway copy and
+            # re-place the NumPy state afterwards for the sampling loop)
+            _, tmpl = runner(place(state_np), 0)
             tmpl = jax.tree.map(np.asarray, tmpl)
-            chunks = load_traces_chunks(checkpoint_dir, tmpl)
             done = meta['n_done']
-            state = jax.tree.map(jnp.asarray, state)
+            chunks = load_traces_chunks(checkpoint_dir, tmpl,
+                                        -(-done // chunk))
+            state = place(state_np)
+        else:
+            # incompatible or absent checkpoint: purge leftovers so stale
+            # chunk files cannot shadow this run's
+            clear_checkpoint(checkpoint_dir)
 
     while done < n_samples:
         step_n = min(chunk, n_samples - done)
@@ -149,7 +182,7 @@ def collect_traces(runner, state, n_samples, chunk=512, progress=None,
         if checkpoint_dir is not None:
             write_meta(checkpoint_dir,
                        {'n_done': done, 'n_samples': n_samples,
-                        'chunk': chunk})
+                        'chunk': chunk, 'fingerprint': fingerprint})
         if progress is not None:
             progress(done, n_samples)
 

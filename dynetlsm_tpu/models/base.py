@@ -1,6 +1,7 @@
 """Shared estimator machinery for the three model classes."""
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..array_utils import triu_indices_from_3d, nondiag_indices_from_3d
 from ..config import DTYPE
@@ -13,7 +14,10 @@ def validate_network(Y, is_directed, copy=True):
     boolean tensor, sample_missing flag).  Missing dyads are coded -1
     (NaNs are converted), mirroring reference lsm.py:341-360.
     """
-    Y = np.array(Y, dtype=np.float64, copy=copy)
+    # NumPy 2 made copy=False mean "never copy" (raising when a dtype cast
+    # is needed, e.g. int 0/1 adjacencies); copy=None restores the
+    # intended copy-only-if-needed semantics
+    Y = np.array(Y, dtype=np.float64, copy=True if copy else None)
     if Y.ndim != 3 or Y.shape[1] != Y.shape[2]:
         raise ValueError('Y must have shape (n_time_steps, n_nodes, n_nodes), '
                          'got %r' % (Y.shape,))
@@ -67,8 +71,6 @@ def build_case_control(cfg, Y_dev, Y_host, rng, miss_mask=None):
     Returns (cc_static dict of device arrays or None,
              (ctrl_in, ctrl_out) initial control draws or None).
     """
-    import jax
-    import jax.numpy as jnp
     from ..ops.case_control import (
         build_edge_lists, sample_control_nodes, max_degree_bound)
 

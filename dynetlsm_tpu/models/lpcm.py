@@ -237,7 +237,8 @@ class DynamicNetworkLPCM(MixtureModelMixin):
         state, traces = collect_traces(runner, state, n_samples,
                                        chunk=self.trace_chunk,
                                        checkpoint_dir=self.checkpoint_dir,
-                                       progress=_progress(self.verbose))
+                                       progress=_progress(self.verbose),
+                                       mesh=mesh)
         self.state_sharding_ = getattr(state.X, 'sharding', None)
         self._final_state = jax.tree.map(np.asarray, state)
 

@@ -264,7 +264,8 @@ class DynamicNetworkLSM:
         state, traces = collect_traces(runner, state, n_total - 1,
                                        chunk=self.trace_chunk,
                                        checkpoint_dir=self.checkpoint_dir,
-                                       progress=_progress(self.verbose))
+                                       progress=_progress(self.verbose),
+                                       mesh=mesh)
         self.state_sharding_ = getattr(state.X, 'sharding', None)
         self._final_state = jax.tree.map(np.asarray, state)
 

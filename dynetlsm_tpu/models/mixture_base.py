@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from math import ceil
 
+from scipy.spatial.distance import pdist, squareform
+
 from ..array_utils import diag_indices_from_3d
 from ..math.procrustes import longitudinal_procrustes_rotation
 from ..metrics import network_auc
@@ -264,7 +266,10 @@ class MixtureModelMixin:
                 if mask.any():
                     Xt[mask] = (sigma[g] * rng.randn(mask.sum(), self.n_features)
                                 + lam * mu[g] + (1 - lam) * X_last[mask])
-            dist = np.asarray(pairwise_distances(to_device_f32(Xt)))
+            # host-side distances: a device round-trip per draw would make
+            # this dispatch-bound (n is small; matches reference
+            # hdp_lpcm.py:571-585)
+            dist = squareform(pdist(Xt))
             probas += expit(float(self.intercept_[0]) - dist) / n_samples
         np.fill_diagonal(probas, 0.0)
         return probas

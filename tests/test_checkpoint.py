@@ -25,14 +25,14 @@ def test_lsm_checkpoint_resume(tmp_path, monkeypatch):
     calls = {'chunks': 0}
 
     def failing_collect(runner, state, n_samples, chunk=512, progress=None,
-                        checkpoint_dir=None):
+                        checkpoint_dir=None, mesh=None):
         def counting_progress(done, total):
             calls['chunks'] += 1
             if calls['chunks'] == 2:
                 raise Stop()
         return orig(runner, state, n_samples, chunk=chunk,
                     progress=counting_progress,
-                    checkpoint_dir=checkpoint_dir)
+                    checkpoint_dir=checkpoint_dir, mesh=mesh)
 
     import dynetlsm_tpu.models.lsm as lsm_mod
     monkeypatch.setattr(lsm_mod, 'collect_traces', failing_collect)
@@ -67,3 +67,77 @@ def test_hdp_checkpoint_resume_runs(tmp_path):
                                checkpoint_dir=ckpt).fit(Y)
     assert m2.Xs_.shape == m1.Xs_.shape
     np.testing.assert_allclose(m2.logps_[1:], m1.logps_[1:], rtol=1e-5)
+
+
+def test_checkpoint_stale_chunks_not_spliced(tmp_path):
+    """Reusing a checkpoint dir after a budget change must not splice the
+    old run's chunk files into the new run's traces (round-2 review
+    finding: resume used to load every chunk_*.npz on disk)."""
+    import jax.numpy as jnp
+    from dynetlsm_tpu.mcmc.driver import collect_traces
+
+    def make_runner(chunk):
+        def run(state, n):
+            vals = state + 1 + jnp.arange(chunk)
+            vals = jnp.where(jnp.arange(chunk) < n, vals, 0)
+            return state + n, {'v': vals}
+        run.chunk = chunk
+        return run
+
+    runner = make_runner(4)
+    ck = str(tmp_path)
+
+    # run A: 12 samples, completes, leaves chunk_00000..2 on disk
+    _, tr = collect_traces(runner, jnp.asarray(0), 12, chunk=4,
+                           checkpoint_dir=ck)
+    assert list(np.asarray(tr['v'])) == list(range(1, 13))
+
+    # run B: 16 samples, interrupted after its first chunk
+    calls = {'n': 0}
+
+    def stop_progress(done, total):
+        calls['n'] += 1
+        if calls['n'] == 1:
+            raise RuntimeError('interrupt')
+
+    with pytest.raises(RuntimeError):
+        collect_traces(runner, jnp.asarray(0), 16, chunk=4,
+                       checkpoint_dir=ck, progress=stop_progress)
+
+    # resume run B: exactly 1..16 — run A's stale chunks must not appear
+    _, tr = collect_traces(runner, jnp.asarray(0), 16, chunk=4,
+                           checkpoint_dir=ck)
+    assert list(np.asarray(tr['v'])) == list(range(1, 17))
+
+
+def test_checkpoint_fingerprint_mismatch_restarts(tmp_path):
+    """A resume against a different state structure starts fresh instead of
+    loading incompatible leaves."""
+    import jax.numpy as jnp
+    from dynetlsm_tpu.mcmc.driver import collect_traces
+
+    def make_runner(chunk):
+        def run(state, n):
+            vals = state[0] + 1 + jnp.arange(chunk)
+            vals = jnp.where(jnp.arange(chunk) < n, vals, 0)
+            return state.at[0].add(n), {'v': vals}
+        run.chunk = chunk
+        return run
+
+    runner = make_runner(4)
+    ck = str(tmp_path)
+    calls = {'n': 0}
+
+    def stop_progress(done, total):
+        calls['n'] += 1
+        if calls['n'] == 1:
+            raise RuntimeError('interrupt')
+
+    with pytest.raises(RuntimeError):
+        collect_traces(runner, jnp.zeros(2), 8, chunk=4,
+                       checkpoint_dir=ck, progress=stop_progress)
+
+    # same n_samples/chunk but a different state shape: must NOT resume
+    _, tr = collect_traces(runner, jnp.zeros(3), 8, chunk=4,
+                           checkpoint_dir=ck)
+    assert list(np.asarray(tr['v'])) == list(range(1, 9))
