@@ -504,6 +504,31 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
             np.ravel(self._flat_posterior('lambdas_')),
             renormalize=True))
 
+    @property
+    def forecast_probas_pp_(self):
+        """Posterior-predictive one-step forecast: per posterior sample,
+        resample labels from the active-renormalised transition row and
+        positions from the mixture dynamics, then average the edge
+        probabilities (reference hdp_lpcm.py:590-630).
+
+        Undirected-only, like the reference (whose implementation broadcasts
+        a scalar intercept; the directed pair would not broadcast against
+        the distance matrix there either).
+        """
+        from ..ops.forecast import posterior_predictive_forecast
+        seed = (self.random_state
+                if isinstance(self.random_state, (int, np.integer)) else 0)
+        key = jax.random.PRNGKey(seed)
+        return np.asarray(posterior_predictive_forecast(
+            key,
+            self._flat_posterior('Xs_')[:, -1],
+            self._flat_posterior('zs_'),
+            self._flat_posterior('weights_')[:, -1],
+            self._flat_posterior('mus_'),
+            self._flat_posterior('sigmas_'),
+            self._flat_posterior('intercepts_')[:, 0],
+            np.ravel(self._flat_posterior('lambdas_'))), dtype=np.float64)
+
     def delete_traces(self):
         """Free trace storage (reference hdp_lpcm.py:1315-1330)."""
         for name in ('Xs_', 'intercepts_', 'zs_', 'mus_', 'sigmas_',

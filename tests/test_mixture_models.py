@@ -83,6 +83,14 @@ def test_hdp_forecast_marginalized(community_net):
     assert fp.shape == (n, n)
     assert np.isfinite(fp).all()
     assert (fp >= 0).all() and (fp <= 1).all()
+    # posterior-predictive variant (reference hdp_lpcm.py:590-630)
+    fpp = model.forecast_probas_pp_
+    assert fpp.shape == (n, n)
+    assert np.isfinite(fpp).all()
+    assert (fpp > 0).all() and (fpp < 1).all()
+    # both forecasters should broadly agree on which dyads are likely
+    off = ~np.eye(n, dtype=bool)
+    assert np.corrcoef(fp[off], fpp[off])[0, 1] > 0.5
 
 
 def test_lpcm_thinning(community_net):
