@@ -123,7 +123,26 @@ def potential_scale_reduction(chains):
     return float(np.sqrt(var_plus / W))
 
 
+def effective_n_geyer(x, maxlags=100):
+    """ESS with Geyer's initial-positive-sequence truncation.
+
+    The plain ``effective_n`` (reference parity) sums all maxlags
+    autocorrelations, which can produce negative or > n estimates from a
+    noisy tail; truncating at the first negative even/odd lag pair keeps
+    the estimate in (0, n]."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    rho = autocorrelation(x, maxlags=maxlags)
+    tau = 1.0
+    for k in range(1, rho.shape[0] - 1, 2):
+        pair = rho[k] + rho[k + 1]
+        if pair < 0:
+            break
+        tau += 2.0 * pair
+    return float(np.clip(n / tau, 1.0, n))
+
+
 def multichain_effective_n(chains, maxlags=100):
-    """Total ESS summed over parallel chains."""
+    """Total ESS summed over parallel chains (Geyer-truncated per chain)."""
     x = np.asarray(chains, dtype=np.float64)
-    return float(sum(effective_n(c, maxlags=maxlags) for c in x))
+    return float(sum(effective_n_geyer(c, maxlags=maxlags) for c in x))

@@ -20,7 +20,8 @@ from ..metrics import network_auc
 from ..ops.distances import pairwise_distances
 from ..ops.likelihoods import (
     undirected_network_probas, directed_network_probas)
-from ..diagnostics import geweke_diag
+from ..diagnostics import (
+    geweke_diag, potential_scale_reduction, multichain_effective_n)
 from ..label_utils import (
     calculate_posterior_cooccurrence, calculate_posterior_group_counts)
 from .base import to_device_f32
@@ -198,18 +199,35 @@ class MixtureModelMixin:
             self.posterior_group_counts_.append(counts)
 
     def _store_geweke(self):
-        logps = (self.logps_ if self.n_chains == 1 else self.logps_[0])
-        lambdas = (self.lambdas_ if self.n_chains == 1 else self.lambdas_[0])
-        ints = (self.intercepts_ if self.n_chains == 1
-                else self.intercepts_[0])
+        """Geweke z-scores per chain, reporting the worst |z| — pooling
+        chains into one series would break the spectral variance estimate
+        (each chain is a separate Markov chain).  Multichain fits also get
+        split-R-hat and total ESS of logp as fitted attributes."""
         nb = self.n_burn_
-        self.logp_geweke_ = geweke_diag(logps, n_burn=nb)
-        self.lambda_geweke_ = geweke_diag(np.ravel(lambdas), n_burn=nb)
+
+        def worst(series_2d):
+            # series_2d : (n_chains, n_samples)
+            diags = [geweke_diag(c, n_burn=nb) for c in series_2d]
+            return diags[int(np.argmax([abs(z) for z, _ in diags]))]
+
+        def chains_of(arr):
+            return arr[None] if self.n_chains == 1 else arr
+
+        logps = chains_of(self.logps_)
+        lambdas = chains_of(self.lambdas_)
+        ints = chains_of(self.intercepts_)
+        self.logp_geweke_ = worst(logps)
+        self.lambda_geweke_ = worst(lambdas.reshape(lambdas.shape[:2]))
         if self.is_directed:
-            self.intercept_in_geweke_ = geweke_diag(ints[:, 0], n_burn=nb)
-            self.intercept_out_geweke_ = geweke_diag(ints[:, 1], n_burn=nb)
+            self.intercept_in_geweke_ = worst(ints[..., 0])
+            self.intercept_out_geweke_ = worst(ints[..., 1])
         else:
-            self.intercept_geweke_ = geweke_diag(ints[:, 0], n_burn=nb)
+            self.intercept_geweke_ = worst(ints[..., 0])
+
+        if self.n_chains > 1:
+            post = logps[:, nb:]
+            self.logp_rhat_ = potential_scale_reduction(post)
+            self.logp_effective_n_ = multichain_effective_n(post)
 
     # -------------------------------------------------------- forecasting
 

@@ -52,6 +52,20 @@ def test_lsm_fit_is_mesh_sharded():
     assert np.isfinite(model.logps_).all()
 
 
+def test_multichain_hdp_diagnostics():
+    # per-chain Geweke (worst |z|) + between-chain diagnostics are stored
+    # as fitted attributes on multichain mixture fits
+    from dynetlsm_tpu import DynamicNetworkHDPLPCM
+    Y, _ = simple_splitting_dynamic_network(n_nodes=16, n_time_steps=2,
+                                            random_state=7)
+    model = DynamicNetworkHDPLPCM(n_iter=60, tune=30, burn=30, n_chains=4,
+                                  n_components=4, random_state=5).fit(Y)
+    z, p = model.logp_geweke_
+    assert np.isfinite(z) and 0.0 <= p <= 1.0
+    assert np.isfinite(model.logp_rhat_) and model.logp_rhat_ >= 1.0
+    assert model.logp_effective_n_ > 0.0
+
+
 def test_lsm_fit_device_subset_mesh():
     # 4 chains on an 8-device host must engage a 4-device mesh (the round-1
     # heuristic silently ran on one device here)
