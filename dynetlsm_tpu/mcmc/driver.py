@@ -78,12 +78,19 @@ def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
     (a static scan length would trigger a full sweep recompile per distinct
     remainder).
     """
-    step = jax.vmap(sweep_fn) if multi_chain else sweep_fn
+    # the sweep gets a chain-invariant scalar iteration index alongside the
+    # per-chain state: chains advance in lockstep, so the cadence-gated
+    # blocks (case-control redraws) can branch on a real lax.cond instead of
+    # a batched select that would evaluate both branches every sweep
+    step = (jax.vmap(sweep_fn, in_axes=(0, None)) if multi_chain
+            else sweep_fn)
 
     def advance(state):
+        it0 = state.it[0] if multi_chain else state.it
         if thin == 1:
-            return step(state)
-        return jax.lax.fori_loop(0, thin, lambda _, s: step(s), state)
+            return step(state, it0)
+        return jax.lax.fori_loop(0, thin, lambda k, s: step(s, it0 + k),
+                                 state)
 
     def run(state, n_samples):
         sample0 = trace_fn(state)

@@ -118,26 +118,43 @@ def _network_loglik(cfg, Y, dist, intercept, radii, X=None, cc=None):
     return undirected_loglik_full(Y, dist, intercept[0])
 
 
-def _refresh_controls(cfg, key, state, Y):
+def _refresh_controls(cfg, key, state, Y, it_hint=None):
     """Periodically redraw the control-node sets inside the jitted sweep
-    (reference CaseControlSampler.resample, case_control_likelihood.py:27-33).
+    (reference CaseControlSampler.resample, case_control_likelihood.py:27-33
+    — cadence-only there too).
+
+    ``it_hint`` is a chain-invariant scalar iteration index supplied by the
+    scan runner: with it, the redraw runs under ``lax.cond`` and the
+    (T, n, n) Gumbel + top-k work really is skipped on off-cadence sweeps.
+    (The per-chain ``state.it`` cannot be the predicate — vmap over chains
+    would batch it and lower the cond to a select that runs both branches
+    every sweep.)
     """
-    do = (state.it % cfg.n_resample_control) == 0
-    fresh_in, fresh_out = sample_control_nodes(key, Y, cfg.n_control,
-                                               directed=cfg.is_directed)
-    ctrl_in = (jnp.where(do, fresh_in, state.ctrl_in)
-               if cfg.is_directed else None)
-    ctrl_out = jnp.where(do, fresh_out, state.ctrl_out)
-    return ctrl_in, ctrl_out
+
+    def redraw(_):
+        return sample_control_nodes(key, Y, cfg.n_control,
+                                    directed=cfg.is_directed)
+
+    if it_hint is None:
+        do = (state.it % cfg.n_resample_control) == 0
+        fresh_in, fresh_out = redraw(None)
+        ctrl_in = (jnp.where(do, fresh_in, state.ctrl_in)
+                   if cfg.is_directed else None)
+        ctrl_out = jnp.where(do, fresh_out, state.ctrl_out)
+        return ctrl_in, ctrl_out
+
+    do = (it_hint % cfg.n_resample_control) == 0
+    return jax.lax.cond(do, redraw,
+                        lambda _: (state.ctrl_in, state.ctrl_out), None)
 
 
-def _cc_structures(cfg, key, state, Y, cc_static):
+def _cc_structures(cfg, key, state, Y, cc_static, it_hint=None):
     """Per-sweep case-control structures: refreshed control sets plus —
     when missing dyads are being resampled so the edge structure drifts —
     an in-device rebuild of the padded edge lists from the current Y
     (reference MissingDirectedCaseControlSampler,
     case_control_likelihood.py:115-186)."""
-    ctrl_in, ctrl_out = _refresh_controls(cfg, key, state, Y)
+    ctrl_in, ctrl_out = _refresh_controls(cfg, key, state, Y, it_hint)
     lists = (edge_lists_device(Y, cc_static['max_deg'])
              if cfg.sample_missing else cc_static)
     cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
@@ -238,7 +255,7 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
     intercept_prior = jnp.asarray(intercept_prior)
     use_cc = cc_static is not None
 
-    def sweep(state: LSMState) -> LSMState:
+    def sweep(state: LSMState, it_hint=None) -> LSMState:
         it_next = state.it + 1
         Y = state.Y if cfg.sample_missing else Y_fixed
         keys = jax.random.split(state.key, 7)
@@ -246,7 +263,7 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         # 0. case-control control-node refresh
         if use_cc:
             cc, ctrl_in, ctrl_out = _cc_structures(cfg, keys[4], state,
-                                                    Y, cc_static)
+                                                    Y, cc_static, it_hint)
         else:
             ctrl_in = ctrl_out = None
             cc = None
@@ -413,14 +430,14 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
     K = cfg.n_components
     use_cc = cc_static is not None
 
-    def sweep(state: MixtureState) -> MixtureState:
+    def sweep(state: MixtureState, it_hint=None) -> MixtureState:
         it_next = state.it + 1
         Y = state.Y if cfg.sample_missing else Y_fixed
         keys = jax.random.split(state.key, 14)
 
         if use_cc:
             cc, ctrl_in, ctrl_out = _cc_structures(cfg, keys[13], state,
-                                                    Y, cc_static)
+                                                    Y, cc_static, it_hint)
         else:
             ctrl_in = ctrl_out = None
             cc = None
@@ -534,7 +551,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
     K = cfg.n_components
     use_cc = cc_static is not None
 
-    def sweep(state: MixtureState) -> MixtureState:
+    def sweep(state: MixtureState, it_hint=None) -> MixtureState:
         it_next = state.it + 1
         Y = state.Y if cfg.sample_missing else Y_fixed
         T = state.X.shape[0]
@@ -543,7 +560,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
 
         if use_cc:
             cc, ctrl_in, ctrl_out = _cc_structures(cfg, keys[18], state,
-                                                    Y, cc_static)
+                                                    Y, cc_static, it_hint)
         else:
             ctrl_in = ctrl_out = None
             cc = None

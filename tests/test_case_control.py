@@ -254,3 +254,53 @@ def test_lsm_fit_case_control_parallel_update(rng):
     assert model.X_.shape == (2, 24, 2)
     assert np.isfinite(model.logps_).all()
     assert float(np.asarray(model.Xs_).std()) > 0
+
+
+def test_control_redraw_cadence(rng):
+    """Control sets are redrawn exactly on the resampling cadence — the
+    scan runner's scalar iteration hint gates the (T, n, n) Gumbel + top-k
+    redraw behind a real lax.cond (reference CaseControlSampler.resample
+    cadence, case_control_likelihood.py:27-33)."""
+    from dynetlsm_tpu.config import DTYPE
+    from dynetlsm_tpu.mcmc.states import LSMState
+    from dynetlsm_tpu.mcmc.sweeps import SweepConfig, make_lsm_sweep
+    from dynetlsm_tpu.mcmc.driver import (
+        make_scan_runner, collect_traces, replicate_state)
+    from dynetlsm_tpu.models.base import build_case_control
+
+    T, n, d = 2, 16, 2
+    Y = rng.binomial(1, 0.3, size=(T, n, n)).astype(np.float64)
+    Y = np.triu(Y, 1)
+    Y = Y + Y.transpose(0, 2, 1)
+    Y_dev = jnp.asarray(Y, jnp.float32)
+
+    cfg = SweepConfig(n_control=5, n_resample_control=3)
+    cc_static, ctrl0 = build_case_control(cfg, Y_dev, Y, rng)
+    sweep = make_lsm_sweep(Y_dev, None, np.zeros(1, np.float32), cfg,
+                           cc_static=cc_static)
+
+    X0 = jnp.asarray(rng.randn(T, n, d), DTYPE)
+    state0 = LSMState(
+        key=jax.random.PRNGKey(0), it=np.zeros((), np.int32),
+        X=X0, intercept=jnp.ones(1, DTYPE), radii=None, Y=None,
+        step_X=jnp.full((T, n), 0.1, DTYPE), acc_X=jnp.zeros((T, n), DTYPE),
+        step_int=jnp.full((1,), 0.1, DTYPE), acc_int=jnp.zeros((1,), DTYPE),
+        step_radii=None, acc_radii=None,
+        logp=jnp.zeros((), DTYPE), logp_map=jnp.zeros((), DTYPE),
+        X_map=X0, intercept_map=jnp.ones(1, DTYPE), radii_map=None,
+        logp_ref=jnp.zeros((), DTYPE), X_ref=X0, missing_sum=None,
+        ctrl_in=ctrl0[0], ctrl_out=ctrl0[1])
+    state = replicate_state(state0, 2, jax.random.PRNGKey(1))
+
+    runner = make_scan_runner(sweep, lambda s: {'ctrl': s.ctrl_out},
+                              chunk=16)
+    _, traces = collect_traces(runner, state, 8, chunk=16)
+    ctrl = np.asarray(traces['ctrl'])            # (8, 2, T, n, 5)
+
+    # sample s is produced with iteration hint s (pre-increment counter):
+    # redraws land exactly on s % 3 == 0, everything else keeps the set
+    for s in range(1, 8):
+        changed = not np.array_equal(ctrl[s], ctrl[s - 1])
+        assert changed == (s % 3 == 0), s
+    # the two chains must draw *different* control sets on a redraw
+    assert not np.array_equal(ctrl[3, 0], ctrl[3, 1])
