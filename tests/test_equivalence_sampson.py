@@ -87,6 +87,31 @@ def test_sampson_lsm_posterior_matches_reference():
     assert abs(x_norm - REF['x_norm_mean']) < 0.3
 
 
+def test_sampson_hdp_posterior_fast():
+    """Reduced-budget always-on variant of the HDP equivalence test (4
+    chains x 1600 sweeps, ~1 min on the CPU mesh), so HDP-LPCM posterior
+    drift fails the default tier, not just the nightly slow tier (VERDICT
+    round-2 item 1).  At this budget the occupied-cluster mode can land on
+    4 instead of the full-budget 3 (extra clusters merge slowly), so the
+    mode check admits both."""
+    from dynetlsm_tpu import DynamicNetworkHDPLPCM
+    Y, _, _ = load_monks(is_directed=False)
+    model = DynamicNetworkHDPLPCM(n_iter=800, tune=400, burn=400, n_chains=4,
+                                  n_components=10, random_state=42).fit(Y)
+    nb = model.n_burn_
+
+    lam = np.ravel(model.lambdas_[:, nb:])
+    assert abs(lam.mean() - REF_HDP['lambda_mean']) < 4 * REF_HDP['lambda_sd']
+
+    b = model.intercepts_[:, nb:].mean()
+    assert abs(b - REF_HDP['intercept_mean']) < 4 * REF_HDP['intercept_sd']
+
+    vals, freqs = np.unique(model.counts_, return_counts=True)
+    assert vals[np.argmax(freqs)] in (REF_HDP['mode_clusters'],
+                                      REF_HDP['mode_clusters'] + 1)
+    assert model.auc_ > 0.75
+
+
 def test_sampson_lsm_posterior_fast():
     """Reduced-budget always-on variant of the equivalence test: 4 chains x
     2000 sweeps (~1 min on the CPU mesh) against the same reference
