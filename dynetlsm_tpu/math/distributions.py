@@ -11,11 +11,58 @@ from ..config import SMALL_EPS
 
 
 # ---------------------------------------------------------------------------
-# Dirichlet
+# Gamma (fixed-round) / Dirichlet
 # ---------------------------------------------------------------------------
 
+_TINY = 1e-20
+
+
+def _gamma_mt_fixed(key, alpha, n_rounds=2):
+    """Fixed-round Marsaglia-Tsang Gamma(alpha, 1) sampler for alpha >= 1.
+
+    ``jax.random.gamma`` lowers to a data-dependent rejection while-loop
+    that serialises poorly on TPU (~3.6 ms/sweep for the (C, T, K, K)
+    transition-weight draws at the north-star scale).  Marsaglia-Tsang
+    accepts >= 95% of proposals per round for alpha >= 1, so two unrolled
+    rounds leave < 0.25% of draws unaccepted; those fall back to the last
+    round's squeezed proposal d*(1+c x)^3 — itself the mode-matched
+    Wilson-Hilferty approximation of the target — bounding the total
+    variation error of the sampler by ~2.5e-3 per draw (validated
+    distributionally in tests/test_distributions.py).
+    """
+    d = alpha - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+    k_x, k_u = jax.random.split(key)
+    shape = (n_rounds,) + jnp.shape(alpha)
+    xs = jax.random.normal(k_x, shape)
+    us = jax.random.uniform(k_u, shape, minval=_TINY)
+    v = (1.0 + c * xs) ** 3
+    ok = jnp.logical_and(
+        v > 0.0,
+        jnp.log(us) < (0.5 * xs * xs + d - d * v
+                       + d * jnp.log(jnp.maximum(v, _TINY))))
+    val = d * jnp.maximum(v[-1], _TINY)          # fallback: last proposal
+    for r in range(n_rounds - 1, -1, -1):        # first accepted round wins
+        val = jnp.where(ok[r], d * v[r], val)
+    return val
+
+
+def sample_gamma_fixed(key, alpha, n_rounds=2):
+    """Gamma(alpha, 1) with fixed-round Marsaglia-Tsang (alpha >= 1) and the
+    boost identity G(a) = G(a+1) * U^(1/a) for alpha < 1 — no rejection
+    loops, so the whole draw is one fused vector pass on TPU."""
+    alpha = jnp.asarray(alpha)
+    small = alpha < 1.0
+    a_core = jnp.where(small, alpha + 1.0, alpha)
+    k_mt, k_b = jax.random.split(key)
+    g = _gamma_mt_fixed(k_mt, a_core, n_rounds=n_rounds)
+    u = jax.random.uniform(k_b, alpha.shape, minval=_TINY)
+    boost = jnp.exp(jnp.log(u) / jnp.maximum(alpha, _TINY))
+    return jnp.where(small, g * boost, g)
+
+
 def sample_dirichlet(key, alphas):
-    """Dirichlet sample via normalised Gammas with clipping.
+    """Dirichlet sample via normalised fixed-round Gammas with clipping.
 
     The reference clips non-positive concentrations before sampling
     (distributions.py:87-94) and re-normalises zero draws
@@ -24,7 +71,7 @@ def sample_dirichlet(key, alphas):
     Batched over leading axes of ``alphas``.
     """
     alphas = jnp.clip(alphas, SMALL_EPS, None)
-    g = jax.random.gamma(key, alphas)
+    g = sample_gamma_fixed(key, alphas)
     g = jnp.clip(g, SMALL_EPS, None)
     out = g / jnp.sum(g, axis=-1, keepdims=True)
     # renormalised clip: float32 division can underflow small components to

@@ -46,21 +46,34 @@ def sample_cluster_variances(key, X, resp, nk, mu, lmbda, a, b):
     """Inverse-gamma conjugate update of the spherical component variances
     (reference hdp_lpcm.py:923-937).
 
+    The residual sums of squares use the expanded-square decomposition
+    (|r - s mu_k|^2 = |r|^2 - 2 s r.mu_k + s^2 |mu_k|^2, weighted by resp),
+    so the only O(T n K) work is (n, K) x (n, d) matmuls — no (T, n, K, d)
+    broadcast tensor ever hits HBM.
+
     Returns sigma : (K,).
     """
     T, n, d = X.shape
     K = mu.shape[0]
-    X_prev = jnp.concatenate([jnp.zeros_like(X[:1]), X[:-1]], axis=0)
 
     ak = 0.5 * (jnp.sum(nk, axis=0) * d + a)
+    mu_sq = jnp.sum(mu * mu, axis=-1)                            # (K,)
 
-    # residuals: t=0: X - mu_k ; t>0: X - (1-lam) X_prev - lam mu_k
-    d0 = X[0][:, None, :] - mu[None, :, :]                       # (n, K, d)
-    ss0 = jnp.einsum('ik,ikd->k', resp[0], d0 * d0)
+    # t=0 residuals: X0 - mu_k
+    x0_sq = jnp.sum(X[0] * X[0], axis=-1)                        # (n,)
+    s0 = jnp.einsum('ik,id->kd', resp[0], X[0])                  # (K, d)
+    ss0 = (resp[0].T @ x0_sq
+           - 2.0 * jnp.sum(s0 * mu, axis=-1)
+           + nk[0] * mu_sq)
     if T > 1:
-        base = X[1:] - (1.0 - lmbda) * X_prev[1:]                # (T-1, n, d)
-        dt = base[:, :, None, :] - lmbda * mu[None, None, :, :]  # (T-1,n,K,d)
-        ss_rest = jnp.einsum('tik,tikd->k', resp[1:], dt * dt)
+        # t>0 residuals: (X_t - (1-lam) X_{t-1}) - lam mu_k
+        base = X[1:] - (1.0 - lmbda) * X[:-1]                    # (T-1, n, d)
+        base_sq = jnp.sum(base * base, axis=-1)                  # (T-1, n)
+        sb = jnp.einsum('tik,tid->kd', resp[1:], base)           # (K, d)
+        nk_rest = jnp.sum(nk[1:], axis=0)                        # (K,)
+        ss_rest = (jnp.einsum('tik,ti->k', resp[1:], base_sq)
+                   - 2.0 * lmbda * jnp.sum(sb * mu, axis=-1)
+                   + (lmbda * lmbda) * nk_rest * mu_sq)
     else:
         ss_rest = jnp.zeros(K)
     bk = 0.5 * b + 0.5 * (ss0 + ss_rest)

@@ -64,3 +64,30 @@ def test_beta_moments():
     draws = sample_beta(key, jnp.full((8000,), a), jnp.full((8000,), b))
     np.testing.assert_allclose(np.asarray(draws).mean(), a / (a + b),
                                atol=0.01)
+
+
+def test_gamma_fixed_matches_gamma_distribution():
+    """KS test of the fixed-round Marsaglia-Tsang sampler against the exact
+    Gamma CDF across the shape regimes the sweeps use (tiny inactive-stick
+    concentrations, O(1) priors, count-sized posteriors)."""
+    import scipy.stats as stats
+    from dynetlsm_tpu.math.distributions import sample_gamma_fixed
+
+    n = 20000
+    for i, shape in enumerate([0.05, 0.5, 1.0, 2.5, 30.0, 400.0]):
+        key = jax.random.PRNGKey(100 + i)
+        draws = np.asarray(sample_gamma_fixed(key, jnp.full((n,), shape)),
+                           np.float64)
+        assert (draws >= 0).all()
+        # float32 underflow maps ultra-tiny draws to 0 for shape << 1;
+        # KS on the positive part (the mass near 0 is checked by count)
+        if shape < 0.1:
+            frac_tiny = (draws < 1e-12).mean()
+            want_tiny = stats.gamma.cdf(1e-12, shape)
+            assert abs(frac_tiny - want_tiny) < 0.02
+            draws = draws[draws >= 1e-12]
+            _, p = stats.kstest(draws, lambda x: (
+                (stats.gamma.cdf(x, shape) - want_tiny) / (1 - want_tiny)))
+        else:
+            _, p = stats.kstest(draws, stats.gamma(shape).cdf)
+        assert p > 1e-3, (shape, p)
