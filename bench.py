@@ -25,7 +25,7 @@ BASELINE_SWEEPS_PER_SEC = 17.45  # notebooks/Sampson's Monastery.ipynb cell 4
 
 
 def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
-                          table_cap=64):
+                          table_cap=64, is_directed=False):
     import jax
     import jax.numpy as jnp
     from dynetlsm_tpu.config import DTYPE
@@ -40,7 +40,8 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
     if quality_init:
         from dynetlsm_tpu.math.init import (
             longitudinal_kmeans, generalized_mds)
-        X0 = generalized_mds(Y, n_features=d, random_state=rng)
+        X0 = generalized_mds(Y, n_features=d, is_directed=is_directed,
+                             random_state=rng)
         X0 -= X0.mean(axis=(0, 1))
         mu0, sigma0, z0 = longitudinal_kmeans(X0, n_clusters=K,
                                               random_state=rng)
@@ -56,15 +57,22 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
         for k in range(K):
             weights0[t, k] = rng.dirichlet(beta0 + 4.0 * np.eye(K)[k])
 
-    cfg = SweepConfig(tune=0, tune_interval=100, n_burn=0, n_components=K,
-                      a0=36.0, b0=40.0, c0=5.0, d0=2.0, table_cap=table_cap)
+    cfg = SweepConfig(is_directed=is_directed, tune=0, tune_interval=100,
+                      n_burn=0, n_components=K,
+                      a0=36.0, b0=40.0, c0=5.0, d0=2.0, table_cap=table_cap,
+                      tune_radii=is_directed)
     Yd = jnp.asarray(Y, DTYPE)
-    sweep = make_hdp_sweep(Yd, None, np.zeros(1, np.float32), cfg)
+    n_int = 2 if is_directed else 1
+    sweep = make_hdp_sweep(Yd, None, np.zeros(n_int, np.float32), cfg)
 
+    if is_directed:
+        from dynetlsm_tpu.math.init import initialize_radii
+        radii0 = jnp.asarray(initialize_radii(Y), DTYPE)
     s0 = MixtureState(
         key=jax.random.PRNGKey(seed), it=jnp.zeros((), jnp.int32),
-        X=jnp.asarray(X0, DTYPE), intercept=jnp.ones(1, DTYPE),
-        radii=None, Y=None, z=jnp.asarray(z0, jnp.int32),
+        X=jnp.asarray(X0, DTYPE), intercept=jnp.ones(n_int, DTYPE),
+        radii=radii0 if is_directed else None,
+        Y=None, z=jnp.asarray(z0, jnp.int32),
         mu=jnp.asarray(mu0, DTYPE), sigma=jnp.asarray(sigma0, DTYPE),
         lmbda=jnp.asarray(0.9, DTYPE), weights=jnp.asarray(weights0, DTYPE),
         beta=jnp.asarray(beta0, DTYPE), gamma=jnp.asarray(1.0, DTYPE),
@@ -72,14 +80,17 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
         kappa=jnp.asarray(4.0, DTYPE), init_weights=None, trans_weights=None,
         mean_var=jnp.asarray(1.0, DTYPE), b_scale=jnp.asarray(2.4, DTYPE),
         step_X=jnp.full((T, n), 0.1, DTYPE), acc_X=jnp.zeros((T, n), DTYPE),
-        step_int=jnp.full((1,), 0.1, DTYPE), acc_int=jnp.zeros((1,), DTYPE),
-        step_radii=None, acc_radii=None, logp=jnp.zeros((), DTYPE),
+        step_int=jnp.full((n_int,), 0.1, DTYPE),
+        acc_int=jnp.zeros((n_int,), DTYPE),
+        step_radii=jnp.asarray(175000.0, DTYPE) if is_directed else None,
+        acc_radii=jnp.zeros((), DTYPE) if is_directed else None,
+        logp=jnp.zeros((), DTYPE),
         missing_sum=None)
     state = replicate_state(s0, n_chains, jax.random.PRNGKey(seed + 1))
     return state, sweep
 
 
-def northstar_network(T=10, n=500, n_groups=8, seed=3):
+def northstar_network(T=10, n=500, n_groups=8, seed=3, directed=False):
     """Synthetic community network at the BASELINE.json target scale."""
     rng = np.random.RandomState(seed)
     z = rng.randint(0, n_groups, size=n)
@@ -88,9 +99,13 @@ def northstar_network(T=10, n=500, n_groups=8, seed=3):
     P = np.where(same, p_in, p_out)
     Y = np.zeros((T, n, n), np.float32)
     for t in range(T):
-        upper = (rng.uniform(size=(n, n)) < P).astype(np.float32)
-        upper = np.triu(upper, 1)
-        Y[t] = upper + upper.T
+        draw = (rng.uniform(size=(n, n)) < P).astype(np.float32)
+        if directed:
+            np.fill_diagonal(draw, 0.0)
+            Y[t] = draw
+        else:
+            upper = np.triu(draw, 1)
+            Y[t] = upper + upper.T
     return Y
 
 
@@ -108,9 +123,12 @@ def measure_sweeps(state, sweep, n_chains, chunk, n_rounds=3):
 
 
 def measure_ess(state, sweep, n_chains, chunk, n_samples):
+    """ESS(logp)/s summed over chains, with Geyer initial-positive-sequence
+    truncation per chain (keeps each chain's estimate in (0, n] — the plain
+    sum-all-lags estimator can go negative on noisy autocorrelation tails)."""
     import jax
     from dynetlsm_tpu.mcmc.driver import make_scan_runner
-    from dynetlsm_tpu.diagnostics import effective_n
+    from dynetlsm_tpu.diagnostics import effective_n_geyer
     runner = make_scan_runner(sweep, lambda s: {'logp': s.logp}, chunk=chunk)
     state, ys = runner(state, chunk)           # compile + reach steady state
     jax.block_until_ready(ys)
@@ -124,7 +142,7 @@ def measure_ess(state, sweep, n_chains, chunk, n_samples):
         remaining -= step_n
     elapsed = time.time() - t0
     logps = np.concatenate(logps, axis=0)      # (samples, chains)
-    ess = sum(effective_n(logps[:, c]) for c in range(n_chains))
+    ess = sum(effective_n_geyer(logps[:, c]) for c in range(n_chains))
     return ess / elapsed
 
 
@@ -176,29 +194,76 @@ def run_ess(chunk):
         'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2)})
 
 
+def run_ess_northstar(chunk):
+    """Mixing-aware throughput at the north-star scale: multichain
+    ESS(logp)/s at T=10, n=500, K=25 (VERDICT round-2 item 3 — the
+    aggregate-sweeps number alone conflates chain count with mixing)."""
+    n_chains = int(os.environ.get('BENCH_NS_CHAINS', '32'))
+    n_samples = int(os.environ.get('BENCH_NS_ESS_SAMPLES', '400'))
+    Y = northstar_network()
+    state, sweep = build_state_and_sweep(Y, n_chains, K=25,
+                                         quality_init=False)
+    value = measure_ess(state, sweep, n_chains, chunk, n_samples)
+    return emit({
+        'metric': 'hdp_lpcm_logp_ess_per_sec_northstar',
+        'value': round(value, 2),
+        'unit': 'ESS(logp)/s summed over %d chains (T=10, n=500, K=25, '
+                '1 chip)' % n_chains,
+        'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2)})
+
+
+def run_directed(chunk):
+    """Directed social-radii HDP-LPCM throughput at the north-star scale —
+    recorded evidence for the directed Pallas node-scan path
+    (VERDICT round-2 item 3)."""
+    n_chains = int(os.environ.get('BENCH_DIR_CHAINS', '32'))
+    Y = northstar_network(directed=True)
+    state, sweep = build_state_and_sweep(Y, n_chains, K=25,
+                                         quality_init=False,
+                                         is_directed=True)
+    value = measure_sweeps(state, sweep, n_chains, chunk, n_rounds=2)
+    return emit({
+        'metric': 'hdp_lpcm_directed_aggregate_sweeps_per_sec_northstar',
+        'value': round(value, 2),
+        'unit': 'sweeps/s x chains (directed, T=10, n=500, K=25, %d chains, '
+                '1 chip)' % n_chains,
+        'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2)})
+
+
 def main():
     mode = os.environ.get('BENCH_MODE', 'all')
     chunk = int(os.environ.get('BENCH_CHUNK', '200'))
+    ns_chunk = int(os.environ.get('BENCH_NS_CHUNK', '50'))
 
     if mode == 'sweeps':
         run_sampson(chunk)
         return
     if mode == 'northstar':
-        run_northstar(chunk)
+        run_northstar(ns_chunk)
         return
     if mode == 'ess':
         run_ess(chunk)
+        return
+    if mode == 'ess-northstar':
+        run_ess_northstar(ns_chunk)
+        return
+    if mode == 'directed':
+        run_directed(ns_chunk)
         return
 
     # mode == 'all': measure everything; each result prints as it lands
     # (partial evidence survives an external timeout) and the FINAL line —
     # the one the driver parses — is the headline Sampson aggregate
-    # carrying the north-star and ESS results in "extra"
-    ns_chunk = int(os.environ.get('BENCH_NS_CHUNK', '50'))
+    # carrying the other results in "extra"
     ns = run_northstar(ns_chunk)
+    ess_ns = run_ess_northstar(ns_chunk)
+    directed = run_directed(ns_chunk)
     ess = run_ess(chunk)
     sampson = run_sampson(chunk)
-    emit(dict(sampson, extra={'northstar_sweeps': ns, 'sampson_ess': ess}))
+    emit(dict(sampson, extra={'northstar_sweeps': ns,
+                              'northstar_ess': ess_ns,
+                              'directed_northstar_sweeps': directed,
+                              'sampson_ess': ess}))
 
 
 if __name__ == '__main__':
