@@ -33,7 +33,9 @@ __all__ = ['plot_network_pyvis',
            'plot_posterior_cooccurrence',
            'alluvial_plot',
            'normal_contour',
-           'get_colors']
+           'get_colors',
+           'get_husl',
+           'arrow_patch']
 
 
 # ---------------------------------------------------------------------------
@@ -47,13 +49,20 @@ def _tab20_hex():
     return colors
 
 
+def get_husl(n_groups):
+    """Evenly-spaced HUSL hex palette for > 20 groups
+    (reference plots.py:63-65)."""
+    import seaborn as sns
+    return np.asarray([to_hex(c)
+                       for c in sns.color_palette('husl', n_groups)])
+
+
 def get_colors(labels):
     """Hex colors per distinct label: tab20 for <= 20 groups, husl beyond."""
     n_groups = int(np.max(labels)) + 1 if np.size(labels) else 1
     if n_groups <= 20:
         return _tab20_hex()[:max(n_groups, 2)]
-    import seaborn as sns
-    return np.asarray([to_hex(c) for c in sns.color_palette('husl', n_groups)])
+    return get_husl(n_groups)
 
 
 def _is_mixture_model(model):
@@ -89,6 +98,17 @@ def draw_edge(x1, x2, ax, is_directed=False, **kwargs):
                                      **kwargs))
     else:
         ax.plot([x1[0], x2[0]], [x1[1], x2[1]], **kwargs)
+
+
+def arrow_patch(x1, x2, source_size, target_size, ax, **kwargs):
+    """Directed-edge arrow shrunk clear of its endpoint markers
+    (reference plots.py:526-536)."""
+    arrow = FancyArrowPatch(x1, x2,
+                            shrinkA=np.sqrt(source_size) / 2,
+                            shrinkB=np.sqrt(target_size) / 2,
+                            **kwargs)
+    ax.add_patch(arrow)
+    return arrow
 
 
 # ---------------------------------------------------------------------------

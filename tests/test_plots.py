@@ -74,3 +74,20 @@ def test_posterior_counts_hdp():
     plt.close(fig)
     fig, _ = plots.plot_traces(m)
     plt.close(fig)
+
+
+def test_palette_and_arrow_helpers():
+    """get_husl / arrow_patch parity helpers (reference plots.py:63, 526)."""
+    import numpy as np
+    import matplotlib.pyplot as plt
+    from dynetlsm_tpu.plots import get_husl, arrow_patch, get_colors
+
+    pal = get_husl(25)
+    assert pal.shape == (25,) and all(c.startswith('#') for c in pal)
+    # > 20 groups routes through the husl palette
+    assert get_colors(np.arange(25)).shape[0] == 25
+
+    fig, ax = plt.subplots()
+    arrow = arrow_patch((0.0, 0.0), (1.0, 1.0), 60, 120, ax, color='k')
+    assert arrow in ax.patches
+    plt.close(fig)
