@@ -89,13 +89,20 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
                            + th_pad * 32 * n_pad * 4)
     per_chain = 16 * t_pad * n_pad * 4 + (1 << 17)
     raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
+    if not _use_fullT(T, n_pad, directed) and raw >= 8:
+        # >= 8 chains routes to the chain-major layout (_call_kernel),
+        # whose buffers carry no time-axis sublane padding: per-chain cost
+        # drops from 16 padded to ~16 real time rows (verified by an
+        # empirical compile probe at C=32, T=10, n_pad=512)
+        per_chain = 16 * 2 * (-(-T // 2)) * n_pad * 4 + (1 << 16)
+        raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
     if not clamp:
         return raw                 # 0 => not even one chain fits VMEM
     return max(1, raw)
 
 
 def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
-                      mixture, directed, n_real, T_total):
+                      mixture, directed, n_real, T_total, c_sublane=False):
     """Phase-split layout: every per-time tensor is stored as an (even
     times, odd times) pair of (·, C, Th, n) buffers, Th = ceil(T/2).
 
@@ -114,6 +121,14 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     stream are never consumed).  yE/yO (+ytE/ytO) : (Th, n32, n) int8.
     stepE/O, uE/O, sigzE/O : (C, Th, n).  Outputs: xE/xO (d, C, Th, n),
     accE/accO (C, Th, n) — interleaved back to (T, ...) by the caller.
+
+    ``c_sublane=True`` selects the chain-major layout (round-3 rework):
+    every (C, Th, n) buffer becomes (Th, C, n) (and params (8, C, n)), so
+    the *chain* axis sits on sublanes.  With C a multiple of 8 the tiles
+    have no sublane padding at all — the time-major layout pads Th to 8
+    rows, wasting 37.5% of every vector op at the north-star T=10 (Th=5)
+    and more at smaller T.  Mathematically identical (the lane axis and
+    every reduction are unchanged); the caller picks the layout by C.
     """
     if directed:
         (ytE_ref, ytO_ref, stepE_ref, stepO_ref, epsE_ref, epsO_ref,
@@ -128,7 +143,10 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
          blkE_ref, blkO_ref, stageE_ref, stageO_ref, sem_ref) = refs
         stageTE_ref = stageTO_ref = None
 
-    d, C, Th, n = xE_ref.shape
+    if c_sublane:
+        d, Th, C, n = xE_ref.shape
+    else:
+        d, C, Th, n = xE_ref.shape
     f32 = jnp.float32
     T = T_total
 
@@ -138,19 +156,30 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     valid = (lane < n_real).astype(f32)                       # real lanes
 
     def scalar(row):
-        # per-chain scalar as (C, 1, 1): params rows are lane-constant
-        return jnp.sum(params[:, row:row + 1, :] * onehot0, axis=2,
-                       keepdims=True)
+        # per-chain scalar, broadcastable against the layout's tiles:
+        # params rows are lane-constant
+        sel = (params[row:row + 1] if c_sublane
+               else params[:, row:row + 1, :])
+        return jnp.sum(sel * onehot0, axis=2, keepdims=True)
 
-    b_in = params[:, 0:1, :]                                  # (C, 1, n)
-    if directed:
-        b_out = params[:, 1:2, :]
-        radii = params[:, 5:6, :]                             # (C, 1, n)
+    if c_sublane:
+        b_in = params[0:1]                                    # (1, C, n)
+        if directed:
+            b_out = params[1:2]
+            radii = params[5:6]                               # (1, C, n)
+    else:
+        b_in = params[:, 0:1, :]                              # (C, 1, n)
+        if directed:
+            b_out = params[:, 1:2, :]
+            radii = params[:, 5:6, :]                         # (C, 1, n)
     tau_sq = scalar(2)
     sigma_sq = scalar(3)
     lmbda = scalar(4)
 
-    m_col = jax.lax.broadcasted_iota(jnp.int32, (1, Th, 1), 1)
+    t_ax = 0 if c_sublane else 1                             # time axis
+    m_col = (jax.lax.broadcasted_iota(jnp.int32, (Th, 1, 1), 0)
+             if c_sublane
+             else jax.lax.broadcasted_iota(jnp.int32, (1, Th, 1), 1))
     # t == 0 lives on even row 0; t == T-1 on even row (T-1)//2 when T is
     # odd, else on odd row T//2 - 1
     first_mask = (m_col == 0)                                 # even half
@@ -166,12 +195,19 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
         muz = (muzE_ref[...], muzO_ref[...])                 # (d, C, Th, n)
         sigz = (sigzE_ref[...], sigzO_ref[...])              # (C, Th, n)
 
+    def _trow(a, sl):
+        # slice along the layout's time axis
+        return a[sl] if c_sublane else a[:, sl]
+
     def shift_down(a):                                       # along Th
-        return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+        return jnp.concatenate(
+            [jnp.zeros_like(_trow(a, slice(0, 1))),
+             _trow(a, slice(0, -1))], axis=t_ax)
 
     def shift_up(a, pad=0.0):
         return jnp.concatenate(
-            [a[:, 1:], jnp.full_like(a[:, :1], pad)], axis=1)
+            [_trow(a, slice(1, None)),
+             jnp.full_like(_trow(a, slice(0, 1)), pad)], axis=t_ax)
 
     def prior_terms(parity, xq, xj_oth, mu_j, mu_oth, sig_j, sig_oth):
         """Log-prior of candidate xq (list of d (C, Th, 1)) at this
@@ -286,8 +322,9 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
 
     xE0 = [xE_ref[di] for di in range(d)]
     xO0 = [xO_ref[di] for di in range(d)]
-    accE0 = jnp.zeros((C, Th, n), f32)
-    accO0 = jnp.zeros((C, Th, n), f32)
+    acc_shape = (Th, C, n) if c_sublane else (C, Th, n)
+    accE0 = jnp.zeros(acc_shape, f32)
+    accO0 = jnp.zeros(acc_shape, f32)
     n32 = yE_ref.shape[1]
     n_blocks = n32 // 32
 
@@ -337,9 +374,15 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
             subO = stageO_ref[:, pl.ds(m * 8, 8), :]
             subTE = stageTE_ref[:, pl.ds(m * 8, 8), :] if directed else None
             subTO = stageTO_ref[:, pl.ds(m * 8, 8), :] if directed else None
+            def row(sub):
+                # adjacency row broadcastable over the chain axis: (1, Th, n)
+                # time-major, (Th, 1, n) chain-major
+                r = sub[:, k, :]
+                return r[:, None, :] if c_sublane else r[None]
+
             for k in range(8):                               # static unroll
-                y_rows = (subE[:, k, :][None], subO[:, k, :][None])
-                yt_rows = ((subTE[:, k, :][None], subTO[:, k, :][None])
+                y_rows = (row(subE), row(subO))
+                yt_rows = ((row(subTE), row(subTO))
                            if directed else (None, None))
                 xs, accs = node_step(j0 + m * 8 + k, y_rows, yt_rows,
                                      xs, accs)
@@ -629,6 +672,25 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     else:
         adj = (yE, yO)
 
+    # chain-major layout (chains on sublanes): no sublane padding of the
+    # time axis once C >= 8, versus Th -> 8 padding (37.5% wasted vector
+    # work at T=10) in the time-major layout.  Tiny chain counts keep the
+    # time-major layout (C=1 would pad 1 -> 8 sublanes).
+    c_sublane = C >= 8
+    if c_sublane:
+        xE, xO = (jnp.transpose(a, (0, 2, 1, 3)) for a in (xE, xO))
+        epsE, epsO = (jnp.transpose(a, (0, 2, 1, 3)) for a in (epsE, epsO))
+        muzE, muzO = (jnp.transpose(a, (0, 2, 1, 3)) for a in (muzE, muzO))
+        stepE, stepO, uE, uO, sigzE, sigzO = (
+            jnp.transpose(a, (1, 0, 2))
+            for a in (stepE, stepO, uE, uO, sigzE, sigzO))
+        params = jnp.transpose(params, (1, 0, 2))            # (8, C, n)
+        x_shape = (d, Th, C, n_pad)
+        a_shape = (Th, C, n_pad)
+    else:
+        x_shape = (d, C, Th, n_pad)
+        a_shape = (C, Th, n_pad)
+
     n_adj = 4 if directed else 2
     # adjacency stays in HBM (streamed by block inside the kernel); all
     # other operands are VMEM-resident
@@ -638,13 +700,14 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * n_adj
                + [pltpu.VMEM((Th, 32, n_pad), jnp.float32)] * n_adj
                + [pltpu.SemaphoreType.DMA((n_adj, 2))])
-    out_shape = (jax.ShapeDtypeStruct((d, C, Th, n_pad), x_l.dtype),
-                 jax.ShapeDtypeStruct((d, C, Th, n_pad), x_l.dtype),
-                 jax.ShapeDtypeStruct((C, Th, n_pad), x_l.dtype),
-                 jax.ShapeDtypeStruct((C, Th, n_pad), x_l.dtype))
+    out_shape = (jax.ShapeDtypeStruct(x_shape, x_l.dtype),
+                 jax.ShapeDtypeStruct(x_shape, x_l.dtype),
+                 jax.ShapeDtypeStruct(a_shape, x_l.dtype),
+                 jax.ShapeDtypeStruct(a_shape, x_l.dtype))
     xE_n, xO_n, accE, accO = pl.pallas_call(
         functools.partial(_node_scan_kernel, mixture=mixture,
-                          directed=directed, n_real=n_real, T_total=T),
+                          directed=directed, n_real=n_real, T_total=T,
+                          c_sublane=c_sublane),
         in_specs=in_specs,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
         out_shape=out_shape,
@@ -652,6 +715,9 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
         interpret=interpret,
     )(params, xE, xO, *adj, stepE, stepO, epsE, epsO, uE, uO, muzE, muzO,
       sigzE, sigzO)
+    if c_sublane:
+        xE_n, xO_n = (jnp.transpose(a, (0, 2, 1, 3)) for a in (xE_n, xO_n))
+        accE, accO = (jnp.transpose(a, (1, 0, 2)) for a in (accE, accO))
     x_out = _interleave_parity(xE_n, xO_n, 2, T)
     acc = _interleave_parity(accE, accO, 1, T)
     return x_out, acc

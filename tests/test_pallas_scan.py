@@ -253,3 +253,68 @@ def test_parallel_scheme_rejects_injected_noise(rng):
             jnp.ones(1), jnp.asarray(step), tau_sq=2.0, sigma_sq=0.1,
             mixture=False, scheme='parallel',
             noise=(jnp.asarray(eps), jnp.asarray(log_u)))
+
+
+def test_pallas_scan_chain_major_batched(rng):
+    """C >= 8 routes the phase-split kernel to the chain-major layout
+    (chains on sublanes, ops/pallas_scan._call_kernel round-3 rework);
+    every chain must stay bit-exact with the per-chain XLA scan."""
+    from dynetlsm_tpu.ops.pallas_scan import node_scan_batch
+    C, K = 8, 3
+    for T in (10, 11):
+        X, Y, step, eps, log_u = _setup(rng, T=T, n=20)
+        n, d = X.shape[1:]
+        Xc = rng.randn(C, T, n, d).astype(np.float32)
+        stepc = np.full((C, T, n), 0.3, np.float32)
+        epsc = rng.randn(C, 2, n, T, d).astype(np.float32)
+        log_uc = np.log(rng.rand(C, 2, n, T)).astype(np.float32)
+        mu = rng.randn(C, K, d).astype(np.float32)
+        sig = (rng.rand(C, K) + 0.3).astype(np.float32)
+        z = rng.randint(0, K, (C, T, n)).astype(np.int32)
+        b = (rng.rand(C) + 0.5).astype(np.float32)
+        lam = np.full((C,), 0.8, np.float32)
+
+        X_pal, acc_pal = node_scan_batch(
+            jnp.asarray(Y), jnp.asarray(Xc), jnp.asarray(b),
+            jnp.asarray(stepc), jnp.asarray(epsc), jnp.asarray(log_uc),
+            tau_sq=0.0, sigma_sq=1.0, mu=jnp.asarray(mu),
+            sigma=jnp.asarray(sig), lmbda=jnp.asarray(lam),
+            z=jnp.asarray(z), mixture=True, interpret=True)
+        for c in range(C):
+            X_xla, acc_xla = _xla_ref(
+                Y, Xc[c], b[c], stepc[c], epsc[c], log_uc[c],
+                mu=jnp.asarray(mu[c]), sigma=jnp.asarray(sig[c]),
+                lmbda=jnp.float32(lam[c]), z=jnp.asarray(z[c]),
+                mixture=True)
+            np.testing.assert_array_equal(np.asarray(acc_xla),
+                                          np.asarray(acc_pal)[c])
+            np.testing.assert_allclose(np.asarray(X_xla),
+                                       np.asarray(X_pal)[c], atol=1e-6)
+
+
+def test_pallas_scan_chain_major_directed(rng):
+    """Directed social-radii likelihood through the chain-major layout."""
+    from dynetlsm_tpu.ops.pallas_scan import node_scan_batch
+    C = 8
+    X, Y, radii, step, eps, log_u = _setup_directed(rng, T=9, n=20)
+    T, n, d = X.shape
+    Xc = rng.randn(C, T, n, d).astype(np.float32)
+    stepc = np.full((C, T, n), 0.05, np.float32)
+    epsc = rng.randn(C, 2, n, T, d).astype(np.float32)
+    log_uc = np.log(rng.rand(C, 2, n, T)).astype(np.float32)
+    radc = np.tile(radii, (C, 1)).astype(np.float32)
+    b = np.tile(np.array([[0.4, 0.8]], np.float32), (C, 1))
+
+    X_pal, acc_pal = node_scan_batch(
+        jnp.asarray(Y), jnp.asarray(Xc), jnp.asarray(b),
+        jnp.asarray(stepc), jnp.asarray(epsc), jnp.asarray(log_uc),
+        tau_sq=2.0, sigma_sq=0.1, radii=jnp.asarray(radc),
+        mixture=False, interpret=True)
+    for c in (0, 3, 7):
+        X_xla, acc_xla = _xla_ref(
+            Y, Xc[c], b[c], stepc[c], epsc[c], log_uc[c], radii=radii,
+            tau_sq=2.0, sigma_sq=0.1, mixture=False)
+        np.testing.assert_array_equal(np.asarray(acc_xla),
+                                      np.asarray(acc_pal)[c])
+        np.testing.assert_allclose(np.asarray(X_xla),
+                                   np.asarray(X_pal)[c], atol=1e-6)
