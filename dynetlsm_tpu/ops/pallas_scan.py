@@ -92,9 +92,13 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
     if not _use_fullT(T, n_pad, directed) and raw >= 8:
         # >= 8 chains routes to the chain-major layout (_call_kernel),
         # whose buffers carry no time-axis sublane padding: per-chain cost
-        # drops from 16 padded to ~16 real time rows (verified by an
-        # empirical compile probe at C=32, T=10, n_pad=512)
-        per_chain = 16 * 2 * (-(-T // 2)) * n_pad * 4 + (1 << 16)
+        # drops from ~16 padded to ~16 real time rows (24 when directed —
+        # the twin eta_in/eta_out evaluations keep extra temporaries
+        # live; a 32-chain directed north-star compile measured ~23
+        # buffer-equivalents per chain before OOMing the 16 MB scoped
+        # budget)
+        n_buf = 24 if directed else 16
+        per_chain = n_buf * 2 * (-(-T // 2)) * n_pad * 4 + (1 << 16)
         raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
     if not clamp:
         return raw                 # 0 => not even one chain fits VMEM
@@ -402,7 +406,7 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
 
 
 def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
-                      n_real):
+                      n_real, c_sublane=False):
     """Full-T variant used when T <= 8 (see _use_fullT): one
     8-padded (C, T, n) buffer per tensor beats two 8-padded halves.
     Adjacency is VMEM-resident (small T keeps it affordable).
@@ -415,6 +419,11 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
     y (+ yt when directed) : (T, n32, n) int8 (n32 = n padded to 32)
     step / u0 / u1 / sigz : (C, T, n)
     Outputs: x_out (d, C, T, n), acc (C, T, n).
+
+    ``c_sublane=True``: chain-major layout — (C, T, n) buffers become
+    (T, C, n) and params (8, C, n), eliminating the T -> 8 sublane padding
+    (62% wasted vector work at T=3) once C >= 8.  Same maths, same lane
+    axis (see _node_scan_kernel).
     """
     if directed:
         (yt_ref, step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
@@ -423,7 +432,10 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
         (step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
          sigz_ref, x_out_ref, acc_out_ref, block_ref) = refs
 
-    d, C, T, n = x_ref.shape
+    if c_sublane:
+        d, T, C, n = x_ref.shape
+    else:
+        d, C, T, n = x_ref.shape
     f32 = jnp.float32
 
     params = params_ref[...]
@@ -432,19 +444,30 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
     valid = (lane < n_real).astype(f32)                       # real lanes
 
     def scalar(row):
-        # per-chain scalar as (C, 1, 1): params rows are lane-constant
-        return jnp.sum(params[:, row:row + 1, :] * onehot0, axis=2,
-                       keepdims=True)
+        # per-chain scalar, broadcastable against the layout's tiles:
+        # params rows are lane-constant
+        sel = (params[row:row + 1] if c_sublane
+               else params[:, row:row + 1, :])
+        return jnp.sum(sel * onehot0, axis=2, keepdims=True)
 
-    b_in = params[:, 0:1, :]                                  # (C, 1, n)
-    if directed:
-        b_out = params[:, 1:2, :]
-        radii = params[:, 5:6, :]                             # (C, 1, n)
+    if c_sublane:
+        b_in = params[0:1]                                    # (1, C, n)
+        if directed:
+            b_out = params[1:2]
+            radii = params[5:6]
+    else:
+        b_in = params[:, 0:1, :]                              # (C, 1, n)
+        if directed:
+            b_out = params[:, 1:2, :]
+            radii = params[:, 5:6, :]                         # (C, 1, n)
     tau_sq = scalar(2)
     sigma_sq = scalar(3)
     lmbda = scalar(4)
 
-    t_col = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+    t_ax = 0 if c_sublane else 1                             # time axis
+    t_col = (jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
+             if c_sublane
+             else jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1))
 
     step = step_ref[...]
     eps_phase = (eps0_ref[...], eps1_ref[...])               # (d, C, T, n)
@@ -453,11 +476,18 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
         muz = muz_ref[...]                                   # (d, C, T, n)
         sigz = sigz_ref[...]                                 # (C, T, n)
 
+    def _trow(a, sl):
+        return a[sl] if c_sublane else a[:, sl]
+
     def shift_down(a):                                       # along T
-        return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+        return jnp.concatenate(
+            [jnp.zeros_like(_trow(a, slice(0, 1))),
+             _trow(a, slice(0, -1))], axis=t_ax)
 
     def shift_up(a):
-        return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+        return jnp.concatenate(
+            [_trow(a, slice(1, None)),
+             jnp.zeros_like(_trow(a, slice(0, 1)))], axis=t_ax)
 
     def prior_terms(xq, xj, mu_j, sig_j):
         """Log-prior of candidate xq given stale temporal neighbours from
@@ -467,7 +497,8 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
         fwd = 0.0
         if mixture:
             sig_nxt = jnp.concatenate(
-                [sig_j[:, 1:], jnp.ones_like(sig_j[:, :1])], axis=1)
+                [_trow(sig_j, slice(1, None)),
+                 jnp.ones_like(_trow(sig_j, slice(0, 1)))], axis=t_ax)
             for di in range(d):
                 prev = shift_down(xj[di])
                 nxt = shift_up(xj[di])
@@ -559,7 +590,7 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
         return x, acc
 
     x0 = [x_ref[di] for di in range(d)]
-    acc0 = jnp.zeros((C, T, n), f32)
+    acc0 = jnp.zeros((T, C, n) if c_sublane else (C, T, n), f32)
     n32 = y_ref.shape[1]
 
     # Adjacency row supply: int8 dynamic sublane slices must be 32-aligned,
@@ -579,9 +610,14 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
             x, acc = carry
             sub = block_ref[:, pl.ds(m * 8, 8), :]           # (T, 8, n)
             subT = blockT_ref[:, pl.ds(m * 8, 8), :] if directed else None
+            def row(sb):
+                # (1, T, n) time-major, (T, 1, n) chain-major
+                r = sb[:, k, :]
+                return r[:, None, :] if c_sublane else r[None]
+
             for k in range(8):                               # static unroll
-                y_row = sub[:, k, :][None]                   # (1, T, n)
-                yt_row = subT[:, k, :][None] if directed else None
+                y_row = row(sub)
+                yt_row = row(subT) if directed else None
                 x, acc = node_step(j0 + m * 8 + k, y_row, yt_row, x, acc)
             return x, acc
 
@@ -598,23 +634,45 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
 def _call_kernel_fullT(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     x_l, step_p, eps_l, u_l, muz, sigz, params = chunk
     d, C, T, n_pad = x_l.shape
+    eps0, eps1 = eps_l[0], eps_l[1]
+    u0, u1 = u_l[:, 0], u_l[:, 1]
+
+    # chain-major layout once C >= 8 (see _node_scan_kernel): no T -> 8
+    # sublane padding of any buffer
+    c_sublane = C >= 8
+    if c_sublane:
+        x_l, eps0, eps1, muz = (jnp.transpose(a, (0, 2, 1, 3))
+                                for a in (x_l, eps0, eps1, muz))
+        step_p, u0, u1, sigz = (jnp.transpose(a, (1, 0, 2))
+                                for a in (step_p, u0, u1, sigz))
+        params = jnp.transpose(params, (1, 0, 2))            # (8, C, n)
+        x_shape = (d, T, C, n_pad)
+        a_shape = (T, C, n_pad)
+    else:
+        x_shape = (d, C, T, n_pad)
+        a_shape = (C, T, n_pad)
+
     n_in = 11 if directed else 10
     scratch = [pltpu.VMEM((T, 32, n_pad), jnp.float32)]
     if directed:
         scratch.append(pltpu.VMEM((T, 32, n_pad), jnp.float32))
     adj = (Y_p, YT_p) if directed else (Y_p,)
-    return pl.pallas_call(
+    x_out, acc = pl.pallas_call(
         functools.partial(_node_scan_kernel_fullT, mixture=mixture,
-                          directed=directed, n_real=n_real),
+                          directed=directed, n_real=n_real,
+                          c_sublane=c_sublane),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((d, C, T, n_pad), x_l.dtype),
-                   jax.ShapeDtypeStruct((C, T, n_pad), x_l.dtype)),
+        out_shape=(jax.ShapeDtypeStruct(x_shape, x_l.dtype),
+                   jax.ShapeDtypeStruct(a_shape, x_l.dtype)),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(params, x_l, *adj, step_p, eps_l[0], eps_l[1],
-      u_l[:, 0], u_l[:, 1], muz, sigz)
+    )(params, x_l, *adj, step_p, eps0, eps1, u0, u1, muz, sigz)
+    if c_sublane:
+        x_out = jnp.transpose(x_out, (0, 2, 1, 3))
+        acc = jnp.transpose(acc, (1, 0, 2))
+    return x_out, acc
 
 
 def _split_parity(a, axis, T, Th):

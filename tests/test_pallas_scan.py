@@ -234,8 +234,12 @@ def test_vmem_capacity_gate():
     """clamp=False exposes zero capacity at VMEM-exceeding shapes so the
     dispatch gate can fall back to the XLA scan (review round-2 finding)."""
     from dynetlsm_tpu.ops.pallas_scan import _vmem_max_chains
-    assert _vmem_max_chains(10, 512) >= 16            # north-star fits
-    assert _vmem_max_chains(10, 512, clamp=False) >= 16
+    assert _vmem_max_chains(10, 512) >= 32            # north-star: one call
+    assert _vmem_max_chains(10, 512, clamp=False) >= 32
+    # the directed kernel keeps ~24 buffer-equivalents live per chain; a
+    # 32-chain single invocation measured 2 MB over the 16 MB scoped VMEM
+    # budget, so the capacity must force chunking below 27 chains
+    assert 8 <= _vmem_max_chains(10, 512, directed=True) <= 26
     big = _vmem_max_chains(10, 8192, clamp=False)     # beyond one chain
     assert big <= 0
     assert _vmem_max_chains(10, 8192) == 1            # clamped floor
@@ -311,6 +315,68 @@ def test_pallas_scan_chain_major_directed(rng):
         tau_sq=2.0, sigma_sq=0.1, radii=jnp.asarray(radc),
         mixture=False, interpret=True)
     for c in (0, 3, 7):
+        X_xla, acc_xla = _xla_ref(
+            Y, Xc[c], b[c], stepc[c], epsc[c], log_uc[c], radii=radii,
+            tau_sq=2.0, sigma_sq=0.1, mixture=False)
+        np.testing.assert_array_equal(np.asarray(acc_xla),
+                                      np.asarray(acc_pal)[c])
+        np.testing.assert_allclose(np.asarray(X_xla),
+                                   np.asarray(X_pal)[c], atol=1e-6)
+
+
+def test_pallas_scan_chain_major_fullT(rng):
+    """Chain-major layout through the full-T kernel variant (T <= 8)."""
+    from dynetlsm_tpu.ops.pallas_scan import node_scan_batch, _use_fullT
+    assert _use_fullT(4, 128)
+    C, K = 8, 3
+    X, Y, step, eps, log_u = _setup(rng, T=4, n=20)
+    T, n, d = X.shape
+    Xc = rng.randn(C, T, n, d).astype(np.float32)
+    stepc = np.full((C, T, n), 0.3, np.float32)
+    epsc = rng.randn(C, 2, n, T, d).astype(np.float32)
+    log_uc = np.log(rng.rand(C, 2, n, T)).astype(np.float32)
+    mu = rng.randn(C, K, d).astype(np.float32)
+    sig = (rng.rand(C, K) + 0.3).astype(np.float32)
+    z = rng.randint(0, K, (C, T, n)).astype(np.int32)
+    b = (rng.rand(C) + 0.5).astype(np.float32)
+    lam = np.full((C,), 0.8, np.float32)
+
+    X_pal, acc_pal = node_scan_batch(
+        jnp.asarray(Y), jnp.asarray(Xc), jnp.asarray(b),
+        jnp.asarray(stepc), jnp.asarray(epsc), jnp.asarray(log_uc),
+        tau_sq=0.0, sigma_sq=1.0, mu=jnp.asarray(mu),
+        sigma=jnp.asarray(sig), lmbda=jnp.asarray(lam),
+        z=jnp.asarray(z), mixture=True, interpret=True)
+    for c in (0, 4, 7):
+        X_xla, acc_xla = _xla_ref(
+            Y, Xc[c], b[c], stepc[c], epsc[c], log_uc[c],
+            mu=jnp.asarray(mu[c]), sigma=jnp.asarray(sig[c]),
+            lmbda=jnp.float32(lam[c]), z=jnp.asarray(z[c]), mixture=True)
+        np.testing.assert_array_equal(np.asarray(acc_xla),
+                                      np.asarray(acc_pal)[c])
+        np.testing.assert_allclose(np.asarray(X_xla),
+                                   np.asarray(X_pal)[c], atol=1e-6)
+
+
+def test_pallas_scan_chain_major_fullT_directed_lsm(rng):
+    """Directed LSM prior through the chain-major full-T variant."""
+    from dynetlsm_tpu.ops.pallas_scan import node_scan_batch
+    C = 8
+    X, Y, radii, step, eps, log_u = _setup_directed(rng, T=3, n=20)
+    T, n, d = X.shape
+    Xc = rng.randn(C, T, n, d).astype(np.float32)
+    stepc = np.full((C, T, n), 0.05, np.float32)
+    epsc = rng.randn(C, 2, n, T, d).astype(np.float32)
+    log_uc = np.log(rng.rand(C, 2, n, T)).astype(np.float32)
+    radc = np.tile(radii, (C, 1)).astype(np.float32)
+    b = np.tile(np.array([[0.4, 0.8]], np.float32), (C, 1))
+
+    X_pal, acc_pal = node_scan_batch(
+        jnp.asarray(Y), jnp.asarray(Xc), jnp.asarray(b),
+        jnp.asarray(stepc), jnp.asarray(epsc), jnp.asarray(log_uc),
+        tau_sq=2.0, sigma_sq=0.1, radii=jnp.asarray(radc),
+        mixture=False, interpret=True)
+    for c in (0, 7):
         X_xla, acc_xla = _xla_ref(
             Y, Xc[c], b[c], stepc[c], epsc[c], log_uc[c], radii=radii,
             tau_sq=2.0, sigma_sq=0.1, mixture=False)
