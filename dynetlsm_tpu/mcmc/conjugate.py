@@ -83,16 +83,25 @@ def sample_cluster_variances(key, X, resp, nk, mu, lmbda, a, b):
     return jnp.clip(sample_inv_gamma(key, ak, bk), 1e-8, None)
 
 
-def sample_lambda(key, X, z, mu, sigma, lambda_prior, lambda_variance_prior):
+def sample_lambda(key, X, z, mu, sigma, lambda_prior, lambda_variance_prior,
+                  resp=None):
     """Truncated-normal conjugate update of the blending coefficient
-    (reference hdp_lpcm.py:939-954)."""
+    (reference hdp_lpcm.py:939-954).
+
+    With ``resp`` (one-hot responsibilities of ``z``) the per-site cluster
+    parameters come from MXU matmuls instead of gathers — identical values
+    (one-hot contraction)."""
     T = X.shape[0]
     if T == 1:
         # no transitions: sample from the (truncated) prior
         return truncated_normal(key, jnp.asarray(lambda_prior, X.dtype),
                                 jnp.asarray(lambda_variance_prior, X.dtype))
-    mu_z = mu[z[1:]]                                # (T-1, n, d)
-    sig_z = sigma[z[1:]][..., None]                 # (T-1, n, 1)
+    if resp is not None:
+        mu_z = jnp.einsum('tnk,kd->tnd', resp[1:], mu)   # (T-1, n, d)
+        sig_z = jnp.einsum('tnk,k->tn', resp[1:], sigma)[..., None]
+    else:
+        mu_z = mu[z[1:]]                            # (T-1, n, d)
+        sig_z = sigma[z[1:]][..., None]             # (T-1, n, 1)
     ml_diff = (mu_z - X[:-1]) / sig_z
     X_diff = X[1:] - X[:-1]
     ml = jnp.sum(ml_diff * X_diff)

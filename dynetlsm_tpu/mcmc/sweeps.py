@@ -493,7 +493,8 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         sigma = sample_cluster_variances(keys[7], X, resp, nk, mu,
                                          state.lmbda, cfg.a, state.b_scale)
         lmbda = sample_lambda(keys[8], X, z, mu, sigma,
-                              cfg.lambda_prior, cfg.lambda_variance_prior)
+                              cfg.lambda_prior, cfg.lambda_variance_prior,
+                              resp=resp)
 
         # hyper-priors
         mean_var = state.mean_var
@@ -628,7 +629,8 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         sigma = sample_cluster_variances(keys[10], X, resp, nk, mu,
                                          state.lmbda, cfg.a, state.b_scale)
         lmbda = sample_lambda(keys[11], X, z, mu, sigma,
-                              cfg.lambda_prior, cfg.lambda_variance_prior)
+                              cfg.lambda_prior, cfg.lambda_variance_prior,
+                              resp=resp)
 
         # hyper-priors (hdp_lpcm.py:957-972)
         mean_var = state.mean_var
