@@ -422,11 +422,11 @@ def sampson_lsm_stats():
     }
 
 
-def sampson_hdp_stats():
+def sampson_hdp_stats(n_iter=3000, tune=1000, burn=1000):
     ref = load_reference()
     from dynetlsm.datasets import load_monks
     Y, _, _ = load_monks(is_directed=False)
-    model = ref.DynamicNetworkHDPLPCM(n_iter=3000, tune=1000, burn=1000,
+    model = ref.DynamicNetworkHDPLPCM(n_iter=n_iter, tune=tune, burn=burn,
                                       n_components=10, random_state=42).fit(Y)
     nb = model.n_burn_
     vals, freqs = np.unique(
@@ -469,13 +469,18 @@ def sampson_directed_lsm_stats():
 
 
 if __name__ == '__main__':
+    # usage: reference_shim.py [all|lsm|hdp|directed] [n_iter tune burn]
+    # (the budget override applies to the HDP run — e.g. ``hdp 20000 5000
+    # 5000`` regenerates the docs/reproductions.md quality row at a budget
+    # matched to the TPU column instead of the 3k test-oracle default)
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
+    budget = [int(v) for v in sys.argv[2:5]] if len(sys.argv) > 2 else []
     out = {}
     if which in ('all', 'lsm'):
         out['sampson_lsm'] = sampson_lsm_stats()
         print(json.dumps(out, indent=2))
     if which in ('all', 'hdp'):
-        out['sampson_hdp'] = sampson_hdp_stats()
+        out['sampson_hdp'] = sampson_hdp_stats(*budget)
         print(json.dumps(out, indent=2))
     if which in ('all', 'directed'):
         out['sampson_directed_lsm'] = sampson_directed_lsm_stats()

@@ -37,14 +37,17 @@ REF = {
 
 
 REF_HDP = {
-    # reference DynamicNetworkHDPLPCM(n_iter=3000, tune=1000, burn=1000,
-    # n_components=10, random_state=42) on undirected Sampson (NumPy-shim
-    # run): auc 0.8595, 3 selected groups, lambda 0.8497 (sd 0.0855),
-    # intercept 1.4022 (sd 0.2948), occupied-cluster histogram mode at 3
-    'lambda_mean': 0.8497,
-    'lambda_sd': 0.0855,
-    'intercept_mean': 1.4022,
-    'intercept_sd': 0.2948,
+    # reference DynamicNetworkHDPLPCM(n_iter=100000, tune=50000,
+    # burn=50000, n_components=10, random_state=42) on undirected Sampson
+    # — the notebook's full 200k-sweep budget, regenerated with
+    # ``python scripts/reference_shim.py hdp 100000 50000 50000`` (~40 min
+    # single-core): auc 0.8735, 3 selected groups, occupied-cluster
+    # histogram mode at 3.  (The 3k-budget default run gives lambda
+    # 0.8497 (0.0855), intercept 1.4022 (0.2948) — same conclusions.)
+    'lambda_mean': 0.8489,
+    'lambda_sd': 0.0849,
+    'intercept_mean': 1.4487,
+    'intercept_sd': 0.2804,
     'mode_clusters': 3,
 }
 
