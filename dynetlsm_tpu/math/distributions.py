@@ -107,7 +107,14 @@ def truncated_normal(key, mean, var, lower=0.0, upper=1.0):
                            minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
     # clip away from 0/1 so ndtri stays finite in float32
     p = jnp.clip(ua + u * (ub - ua), 1e-6, 1.0 - 1e-6)
-    return mean + std * ndtri(p)
+    draw = mean + std * ndtri(p)
+    # float32 inverse-CDF rounding can land the draw exactly on — or one
+    # ulp past — a bound (TPU's ndtr/ndtri differ from host rounding), and
+    # the p-clip above can push past a bound when the conditional mass
+    # window is < 1e-6; the truncated density is zero there, which turned
+    # into logp = -inf mid-chain.  Clamp into the open interval.
+    margin = 1e-6 * (upper - lower)
+    return jnp.clip(draw, lower + margin, upper - margin)
 
 
 def truncated_normal_logpdf(x, mean, var, lower=0.0, upper=1.0):

@@ -91,3 +91,21 @@ def test_gamma_fixed_matches_gamma_distribution():
         else:
             _, p = stats.kstest(draws, stats.gamma(shape).cdf)
         assert p > 1e-3, (shape, p)
+
+
+def test_truncated_normal_stays_strictly_inside_bounds():
+    """Extreme mean/variance combinations must still draw strictly inside
+    the open interval — the inverse-CDF p-clip can otherwise land a draw
+    on (or past) a bound, where the truncated logpdf is -inf (the bench's
+    mid-chain logp = -inf regression)."""
+    from dynetlsm_tpu.math.distributions import (
+        truncated_normal, truncated_normal_logpdf)
+    for i, (mean, var) in enumerate([(5.0, 1e-4), (-3.0, 1e-6),
+                                     (0.99999, 1e-8), (1.5, 4.0)]):
+        key = jax.random.PRNGKey(i)
+        draws = truncated_normal(key, jnp.full((4096,), mean),
+                                 jnp.full((4096,), var))
+        d = np.asarray(draws)
+        assert (d > 0.0).all() and (d < 1.0).all(), (mean, var)
+        lp = np.asarray(truncated_normal_logpdf(draws, mean, var))
+        assert np.isfinite(lp).all(), (mean, var)
