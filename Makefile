@@ -1,6 +1,6 @@
 # Developer entry points (reference ships a Makefile; CI parity lives in
 # .github/workflows/test.yml)
-.PHONY: test test-all bench bench-ess clean
+.PHONY: test test-all bench bench-ess bench-northstar bench-directed clean
 
 test:
 	python -m pytest tests/ -q -m "not slow"
@@ -13,6 +13,13 @@ bench:
 
 bench-ess:
 	BENCH_MODE=ess python bench.py
+	BENCH_MODE=ess-northstar python bench.py
+
+bench-northstar:
+	BENCH_MODE=northstar python bench.py
+
+bench-directed:
+	BENCH_MODE=directed python bench.py
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} +
