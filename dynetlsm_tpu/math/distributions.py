@@ -145,18 +145,23 @@ def sample_inv_gamma(key, shape, rate):
     The reference draws ``1 / rng.gamma(shape=a, scale=1/b)``
     (e.g. hdp_lpcm.py:937).  Batched over leading axes.
     """
-    g = jax.random.gamma(key, shape)
+    g = sample_gamma_fixed(key, jnp.asarray(shape, jnp.float32))
     return rate / jnp.clip(g, SMALL_EPS, None)
 
 
 def sample_gamma(key, shape, rate):
-    """Gamma(shape, rate) sample (mean shape / rate)."""
-    return jax.random.gamma(key, shape) / rate
+    """Gamma(shape, rate) sample (mean shape / rate).
+
+    Fixed-round Marsaglia-Tsang (see :func:`sample_gamma_fixed`):
+    ``jax.random.gamma``'s rejection while-loop serialises poorly on TPU
+    even at the small per-chain shapes of the concentration updates."""
+    return sample_gamma_fixed(key, jnp.asarray(shape, jnp.float32)) / rate
 
 
 def sample_beta(key, a, b):
-    ga = jax.random.gamma(key, a)
-    gb = jax.random.gamma(jax.random.fold_in(key, 1), b)
+    ga = sample_gamma_fixed(key, jnp.asarray(a, jnp.float32))
+    gb = sample_gamma_fixed(jax.random.fold_in(key, 1),
+                            jnp.asarray(b, jnp.float32))
     return ga / jnp.clip(ga + gb, SMALL_EPS, None)
 
 

@@ -163,10 +163,12 @@ def sample_alpha_kappa_rho(key, n_trans, m, w, alpha, kappa,
     n_dot = jnp.sum(n_trans[1:], axis=2)                 # (T-1, K)
     valid = n_dot > 0
     s = jax.random.uniform(k_s, n_dot.shape) < (n_dot / (n_dot + alpha_kappa))
-    # Beta(alpha_kappa + 1, n_dot) via two gammas, elementwise
-    ga = jax.random.gamma(k_r, jnp.full(n_dot.shape, alpha_kappa + 1.0))
-    gb = jax.random.gamma(jax.random.fold_in(k_r, 1),
-                          jnp.clip(n_dot, SMALL_EPS, None))
+    # Beta(alpha_kappa + 1, n_dot) via two fixed-round gammas, elementwise
+    # (jax.random.gamma's rejection while-loop serialises poorly on TPU)
+    from ..math.distributions import sample_gamma_fixed
+    ga = sample_gamma_fixed(k_r, jnp.full(n_dot.shape, alpha_kappa + 1.0))
+    gb = sample_gamma_fixed(jax.random.fold_in(k_r, 1),
+                            jnp.clip(n_dot, SMALL_EPS, None))
     r = ga / jnp.clip(ga + gb, SMALL_EPS, None)
 
     m_dot = jnp.sum(m[1:], axis=2)                       # (T-1, K)
