@@ -22,13 +22,20 @@ _PAD_POS = 1.0e4
 _BLOCK = 128
 
 
-def _pair_tile_kernel(b_ref, y_ref, *x_refs, block):
-    """One (t, block_i, block_j) tile: partial log-lik of both candidates.
+def _pair_tile_kernel(im_ref, jm_ref, b_ref, y_ref, *x_refs, block):
+    """One upper-triangular (t, tile_i, tile_j) tile (j >= i): partial
+    log-lik of both candidates.
+
+    The dyad sum is symmetric, so only j >= i tiles are visited (the
+    scalar-prefetched ``im``/``jm`` arrays enumerate them); off-diagonal
+    tiles carry each unordered dyad once (weight 1), diagonal tiles carry
+    both orders (weight 1/2, true diagonal masked) — 37.5% fewer tiles
+    than the full grid at n = 500.
 
     b (C, 128) VMEM: intercepts in lanes 0/1 (lane-broadcast elsewhere);
     y (1, bi, bj) int8; x_refs: d pairs of row/col position tiles
-    (1, C, bi) / (1, C, bj); out (1, C, 2·128? no) -> (1, C, 128) partial
-    with candidate 0 in lane 0, candidate 1 in lane 1.
+    (1, C, bi) / (1, C, bj); out (1, C, 128) partial with candidate 0 in
+    lane 0, candidate 1 in lane 1.
     """
     d = len(x_refs) // 2
     xi = [x_refs[di][0] for di in range(d)]                  # (C, bi)
@@ -46,11 +53,13 @@ def _pair_tile_kernel(b_ref, y_ref, *x_refs, block):
     # nodes need no mask: X pads with _PAD_POS => eta ~ -1e4 => y*eta = 0
     # (padded y is 0) and softplus(eta) == 0 in f32
     bi, bj = block
-    rows = pl.program_id(1) * bi + jax.lax.broadcasted_iota(
-        jnp.int32, (1, bi, bj), 1)
-    cols = pl.program_id(2) * bj + jax.lax.broadcasted_iota(
-        jnp.int32, (1, bi, bj), 2)
+    u = pl.program_id(1)
+    ti = im_ref[u]
+    tj = jm_ref[u]
+    rows = ti * bi + jax.lax.broadcasted_iota(jnp.int32, (1, bi, bj), 1)
+    cols = tj * bj + jax.lax.broadcasted_iota(jnp.int32, (1, bi, bj), 2)
     offdiag = (rows != cols).astype(jnp.float32)
+    weight = jnp.where(ti == tj, 0.5, 1.0)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _BLOCK), 2)
     parts = 0.0
@@ -65,31 +74,40 @@ def _pair_tile_kernel(b_ref, y_ref, *x_refs, block):
                       axis=1, keepdims=True)                 # (C, 1, 1)
         parts = parts + red[:, 0, :] * (lane[0] == cand).astype(jnp.float32)
 
-    out_ref[0] = parts                                       # (C, 128)
+    out_ref[0] = weight * parts                              # (C, 128)
 
 
 def _pair_call(Y_i8, xs, b_vm, *, T, gi, d, C, n_pad, interpret):
-    grid = (T, gi, gi)
-    in_specs = [pl.BlockSpec((C, _BLOCK), lambda t, i, j: (0, 0)),
-                pl.BlockSpec((1, _BLOCK, _BLOCK), lambda t, i, j: (t, i, j))]
+    # upper-triangular tile enumeration, scalar-prefetched for the index maps
+    iu, ju = zip(*[(i, j) for i in range(gi) for j in range(i, gi)])
+    n_ut = len(iu)
+    im = jnp.asarray(iu, jnp.int32)
+    jm = jnp.asarray(ju, jnp.int32)
+    grid = (T, n_ut)
+    in_specs = [pl.BlockSpec((C, _BLOCK), lambda t, u, im, jm: (0, 0)),
+                pl.BlockSpec((1, _BLOCK, _BLOCK),
+                             lambda t, u, im, jm: (t, im[u], jm[u]))]
     # d row tiles then d col tiles
-    in_specs += [pl.BlockSpec((1, C, _BLOCK), lambda t, i, j: (t, 0, i))
+    in_specs += [pl.BlockSpec((1, C, _BLOCK),
+                              lambda t, u, im, jm: (t, 0, im[u]))
                  for _ in range(d)]
-    in_specs += [pl.BlockSpec((1, C, _BLOCK), lambda t, i, j: (t, 0, j))
+    in_specs += [pl.BlockSpec((1, C, _BLOCK),
+                              lambda t, u, im, jm: (t, 0, jm[u]))
                  for _ in range(d)]
-    partials = pl.pallas_call(
-        functools.partial(_pair_tile_kernel, block=(_BLOCK, _BLOCK)),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, C, _BLOCK),
-            lambda t, i, j: (t * gi * gi + i * gi + j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T * gi * gi, C, _BLOCK),
-                                       jnp.float32),
+            (1, C, _BLOCK), lambda t, u, im, jm: (t * n_ut + u, 0, 0)),
+    )
+    partials = pl.pallas_call(
+        functools.partial(_pair_tile_kernel, block=(_BLOCK, _BLOCK)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * n_ut, C, _BLOCK), jnp.float32),
         interpret=interpret,
-    )(b_vm, Y_i8, *xs)
-    # undirected: each dyad counted twice across (i, j) tiles
-    return 0.5 * jnp.sum(partials, axis=0)[:, :2]            # (C, 2)
+    )(im, jm, b_vm, Y_i8, *xs)
+    return jnp.sum(partials, axis=0)[:, :2]                  # (C, 2)
 
 
 # per-tile temporaries are (C, 128, 128) f32; ~5 live at once must fit VMEM
