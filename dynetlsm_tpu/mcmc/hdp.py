@@ -70,17 +70,23 @@ def sample_tables(key, n_trans, beta, alpha_init, alpha, kappa, n_max,
     p = jnp.clip(p, SMALL_EPS, None)
 
     L = min(cap, n_max)
-    i = jnp.arange(L, dtype=jnp.float32)                 # (L,)
     k_head, k_tail = jax.random.split(key)
-    u = jax.random.uniform(k_head, p.shape + (L,))
-    # u < p/(p+i)  <=>  u*i < p*(1-u): division-free (the (T,K,K,L) probs
-    # tensor and its divide were the most expensive part of this block).
+    # (L, cells) layout: the (T, K, K, L) form puts L = 64 on lanes (padded
+    # to 128) and K = 25 on sublanes (padded to 32), wasting ~2.5x of every
+    # vector op; with cells = T*K*K on lanes and the arange on sublanes the
+    # tiles pad by < 1%
+    cells = T * K * K
+    i_col = jnp.arange(L, dtype=jnp.float32)[:, None]    # (L, 1)
+    u = jax.random.uniform(k_head, (L, cells))
+    p_row = jnp.reshape(p, (1, cells))
+    # u < p/(p+i)  <=>  u*i < p*(1-u): division-free (the probs tensor and
+    # its divide were the most expensive part of this block).
     # i = 0 succeeds with probability 1 by definition; the explicit OR
     # guards tiny p where p*(1-u) flushes to zero (TPU has no subnormals)
-    trial = jnp.logical_or(u * i < p[..., None] * (1.0 - u),
-                           i == 0.0).astype(jnp.float32)
-    mask = i[None, None, None, :] < n_trans[..., None]
-    m = jnp.sum(jnp.where(mask, trial, 0.0), axis=-1)
+    trial = jnp.logical_or(u * i_col < p_row * (1.0 - u),
+                           i_col == 0.0).astype(jnp.float32)
+    mask = i_col < jnp.reshape(n_trans, (1, cells))
+    m = jnp.reshape(jnp.sum(jnp.where(mask, trial, 0.0), axis=0), (T, K, K))
     if n_max > L:
         c = n_trans.astype(jnp.float32)
         tail_len = jnp.maximum(c - L, 0.0)

@@ -120,10 +120,12 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
 
     params: (C, 8, n) lane rows [b_in|b, b_out, tau_sq, sigma_sq, lmbda,
     radii] (pre-broadcast; scalar rows lane-constant, radii lane-varying).
-    xE/xO, epsE/epsO, muzE/muzO : (d, C, Th, n); epsE holds phase 0's even
-    rows and epsO phase 1's odd rows (the other parities of each phase's
-    stream are never consumed).  yE/yO (+ytE/ytO) : (Th, n32, n) int8.
-    stepE/O, uE/O, sigzE/O : (C, Th, n).  Outputs: xE/xO (d, C, Th, n),
+    xE/xO : (d, C, Th, n).  The scan-invariant per-node streams arrive
+    lane-blocked with G = n/128: epsE/epsO, muzE/muzO (d*G, C, Th, 128)
+    and uE/O, sigzE/O (G, C, Th, 128); epsE holds phase 0's even rows and
+    epsO phase 1's odd rows (the other parities of each phase's stream are
+    never consumed) and is pre-multiplied by the step size.  yE/yO
+    (+ytE/ytO) : (Th, n32, n) int8.  Outputs: xE/xO (d, C, Th, n),
     accE/accO (C, Th, n) — interleaved back to (T, ...) by the caller.
 
     ``c_sublane=True`` selects the chain-major layout (round-3 rework):
@@ -135,13 +137,13 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     every reduction are unchanged); the caller picks the layout by C.
     """
     if directed:
-        (ytE_ref, ytO_ref, stepE_ref, stepO_ref, epsE_ref, epsO_ref,
+        (ytE_ref, ytO_ref, epsE_ref, epsO_ref,
          uE_ref, uO_ref, muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
          xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
          blkE_ref, blkO_ref, blkTE_ref, blkTO_ref,
          stageE_ref, stageO_ref, stageTE_ref, stageTO_ref, sem_ref) = refs
     else:
-        (stepE_ref, stepO_ref, epsE_ref, epsO_ref, uE_ref, uO_ref,
+        (epsE_ref, epsO_ref, uE_ref, uO_ref,
          muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
          xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
          blkE_ref, blkO_ref, stageE_ref, stageO_ref, sem_ref) = refs
@@ -192,12 +194,13 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     else:
         last_mask = ((m_col < 0), (m_col == T // 2 - 1))
 
-    step = (stepE_ref[...], stepO_ref[...])
-    eps = (epsE_ref[...], epsO_ref[...])                     # (d, C, Th, n)
-    u = (uE_ref[...], uO_ref[...])                           # (C, Th, n)
-    if mixture:
-        muz = (muzE_ref[...], muzO_ref[...])                 # (d, C, Th, n)
-        sigz = (sigzE_ref[...], sigzO_ref[...])              # (C, Th, n)
+    # invariant per-node streams (eps pre-multiplied by step, u, muz, sigz)
+    # arrive lane-blocked: (d*G, ·, ·, 128) / (G, ·, ·, 128) with G = n/128.
+    # Each 32-node block hoists one 128-lane tile read per stream and every
+    # node gathers from that tile with a 128-lane one-hot — 4x less
+    # multiply-reduce work than the full-lane gathers at n = 512.
+    G = n // 128
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
 
     def _trow(a, sl):
         # slice along the layout's time axis
@@ -276,19 +279,26 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
             ll = y_row * eta - jax.nn.softplus(eta)
         return jnp.sum(ll * mask, axis=2, keepdims=True)
 
-    def node_step(j, y_rows, yt_rows, xs, accs):
+    def node_step(j, jl, streams, y_rows, yt_rows, xs, accs):
         """One node's two-phase MH update.  y_rows/yt_rows: per-parity
-        (1, Th, n) f32; xs/accs: per-parity field lists."""
+        (1, Th, n) f32; streams: per-block 128-lane stream tiles;
+        jl = j's lane inside the block; xs/accs: per-parity field lists."""
         onehot = (lane == j).astype(f32)                     # (1, 1, n)
         mask = (1.0 - onehot) * valid
+        oh128 = (lane128 == jl).astype(f32)                  # (1, 1, 128)
+        eps_blk, u_blk, muz_blk, sigz_blk = streams
 
         def gather(a):                                     # (C,Th,n)->(C,Th,1)
             return jnp.sum(a * onehot, axis=2, keepdims=True)
 
+        def g128(tile):                              # (·, ·, 128) -> (·, ·, 1)
+            return jnp.sum(tile * oh128, axis=2, keepdims=True)
+
         r_self = gather(radii) if directed else None         # (C, 1, 1)
         if mixture:
-            mu_j = [[gather(muz[p][di]) for di in range(d)] for p in (0, 1)]
-            sig_j = [gather(sigz[p]) for p in (0, 1)]
+            mu_j = [[g128(muz_blk[p][di]) for di in range(d)]
+                    for p in (0, 1)]
+            sig_j = [g128(sigz_blk[p]) for p in (0, 1)]
         else:
             mu_j = sig_j = (None, None)
 
@@ -301,10 +311,10 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
             x_self = xs[parity]
             xj = xj_even if parity == 0 else xj_odd
             xj_oth = xj_odd if parity == 0 else xj_even
-            eps_j = [gather(eps[parity][di]) for di in range(d)]
-            u_j = gather(u[parity])
-            step_j = gather(step[parity])
-            x_prop = [xj[di] + step_j * eps_j[di] for di in range(d)]
+            eps_j = [g128(eps_blk[parity][di]) for di in range(d)]
+            u_j = g128(u_blk[parity])
+            # step is pre-multiplied into eps by the caller
+            x_prop = [xj[di] + eps_j[di] for di in range(d)]
 
             ll_prop = loglik_row(x_self, x_prop, y_rows[parity],
                                  yt_rows[parity], r_self, mask)
@@ -372,6 +382,23 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
         for i in range(len(hbm_refs)):
             stages[i][...] = dbufs[i][slot].astype(f32)
 
+        # one 128-lane tile read per stream per 32-node block (g advances
+        # every 4 blocks; re-reading per block keeps the index affine)
+        g = b // 4
+        jl0 = j0 - g * 128
+
+        def blkd(ref):                   # (d*G, ·, ·, 128) -> d tiles
+            return [ref[di * G + g] for di in range(d)]
+
+        eps_blk = (blkd(epsE_ref), blkd(epsO_ref))
+        u_blk = (uE_ref[g], uO_ref[g])
+        if mixture:
+            muz_blk = (blkd(muzE_ref), blkd(muzO_ref))
+            sigz_blk = (sigzE_ref[g], sigzO_ref[g])
+        else:
+            muz_blk = sigz_blk = None
+        streams = (eps_blk, u_blk, muz_blk, sigz_blk)
+
         def sub_body(m, carry):
             xs, accs = carry
             subE = stageE_ref[:, pl.ds(m * 8, 8), :]         # (Th, 8, n)
@@ -388,8 +415,8 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
                 y_rows = (row(subE), row(subO))
                 yt_rows = ((row(subTE), row(subTO))
                            if directed else (None, None))
-                xs, accs = node_step(j0 + m * 8 + k, y_rows, yt_rows,
-                                     xs, accs)
+                xs, accs = node_step(j0 + m * 8 + k, jl0 + m * 8 + k,
+                                     streams, y_rows, yt_rows, xs, accs)
             return xs, accs
 
         return jax.lax.fori_loop(0, 4, sub_body, carry)
@@ -712,9 +739,13 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
 
     xE, xO = _split_parity(x_l, 2, T, Th)
     stepE, stepO = _split_parity(step_p, 1, T, Th)
-    # each phase consumes only its own parity of its proposal stream
+    # each phase consumes only its own parity of its proposal stream; the
+    # step size folds into the proposal offset here (the kernel gathers one
+    # fewer stream per phase)
     epsE, _ = _split_parity(eps_l[0], 2, T, Th)
     _, epsO = _split_parity(eps_l[1], 2, T, Th)
+    epsE = epsE * stepE[None]
+    epsO = epsO * stepO[None]
     uE, _ = _split_parity(u_l[:, 0], 1, T, Th)
     _, uO = _split_parity(u_l[:, 1], 1, T, Th)
     muzE, muzO = _split_parity(muz, 2, T, Th)
@@ -739,9 +770,9 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
         xE, xO = (jnp.transpose(a, (0, 2, 1, 3)) for a in (xE, xO))
         epsE, epsO = (jnp.transpose(a, (0, 2, 1, 3)) for a in (epsE, epsO))
         muzE, muzO = (jnp.transpose(a, (0, 2, 1, 3)) for a in (muzE, muzO))
-        stepE, stepO, uE, uO, sigzE, sigzO = (
+        uE, uO, sigzE, sigzO = (
             jnp.transpose(a, (1, 0, 2))
-            for a in (stepE, stepO, uE, uO, sigzE, sigzO))
+            for a in (uE, uO, sigzE, sigzO))
         params = jnp.transpose(params, (1, 0, 2))            # (8, C, n)
         x_shape = (d, Th, C, n_pad)
         a_shape = (Th, C, n_pad)
@@ -749,12 +780,28 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
         x_shape = (d, C, Th, n_pad)
         a_shape = (C, Th, n_pad)
 
+    # lane-block the scan-invariant streams (see _node_scan_kernel):
+    # (·, s0, s1, n) -> (·G, s0, s1, 128)
+    G = n_pad // 128
+
+    def blk3(a):
+        s0, s1 = a.shape[:2]
+        return jnp.transpose(a.reshape(s0, s1, G, 128), (2, 0, 1, 3))
+
+    def blk4(a):
+        d_, s0, s1 = a.shape[:3]
+        a = jnp.transpose(a.reshape(d_, s0, s1, G, 128), (0, 3, 1, 2, 4))
+        return a.reshape(d_ * G, s0, s1, 128)
+
+    epsE, epsO, muzE, muzO = (blk4(a) for a in (epsE, epsO, muzE, muzO))
+    uE, uO, sigzE, sigzO = (blk3(a) for a in (uE, uO, sigzE, sigzO))
+
     n_adj = 4 if directed else 2
     # adjacency stays in HBM (streamed by block inside the kernel); all
     # other operands are VMEM-resident
     in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_adj
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10)
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8)
     scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * n_adj
                + [pltpu.VMEM((Th, 32, n_pad), jnp.float32)] * n_adj
                + [pltpu.SemaphoreType.DMA((n_adj, 2))])
@@ -771,8 +818,7 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(params, xE, xO, *adj, stepE, stepO, epsE, epsO, uE, uO, muzE, muzO,
-      sigzE, sigzO)
+    )(params, xE, xO, *adj, epsE, epsO, uE, uO, muzE, muzO, sigzE, sigzO)
     if c_sublane:
         xE_n, xO_n = (jnp.transpose(a, (0, 2, 1, 3)) for a in (xE_n, xO_n))
         accE, accO = (jnp.transpose(a, (1, 0, 2)) for a in (accE, accO))
