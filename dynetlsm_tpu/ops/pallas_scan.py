@@ -82,11 +82,14 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
         t_pad = 8
         y_bytes = _fullT_adj_bytes(T, n_pad, directed)
     else:
-        th_pad = -(-(-(-T // 2)) // 8) * 8
+        th = -(-T // 2)
+        th_pad = -(-th // 8) * 8
         t_pad = 2 * th_pad
         n_adj = 4 if directed else 2
-        y_bytes = n_adj * (2 * th_pad * 32 * n_pad
-                           + th_pad * 32 * n_pad * 4)
+        # double-buffered int8 row blocks (outer dims unpadded: the (32, n)
+        # trailing tile is already aligned) + the 8-row f32 stage
+        y_bytes = n_adj * (2 * th * 32 * n_pad
+                           + th * 8 * n_pad * 4)
     per_chain = 16 * t_pad * n_pad * 4 + (1 << 17)
     raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
     if not _use_fullT(T, n_pad, directed) and raw >= 8:
@@ -379,8 +382,6 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
 
         stages = (stageE_ref, stageO_ref) + ((stageTE_ref, stageTO_ref)
                                              if directed else ())
-        for i in range(len(hbm_refs)):
-            stages[i][...] = dbufs[i][slot].astype(f32)
 
         # one 128-lane tile read per stream per 32-node block (g advances
         # every 4 blocks; re-reading per block keeps the index affine)
@@ -401,10 +402,18 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
 
         def sub_body(m, carry):
             xs, accs = carry
-            subE = stageE_ref[:, pl.ds(m * 8, 8), :]         # (Th, 8, n)
-            subO = stageO_ref[:, pl.ds(m * 8, 8), :]
-            subTE = stageTE_ref[:, pl.ds(m * 8, 8), :] if directed else None
-            subTO = stageTO_ref[:, pl.ds(m * 8, 8), :] if directed else None
+            # stage only the 8 rows this sub-block consumes: the f32 stage
+            # buffer is (Th, 8, n) instead of (Th, 32, n), saving
+            # 3 * Th * n * 96 B of fixed VMEM — the margin that lets the
+            # kernel serve n ~ 4000+ (the int8 -> f32 convert work is
+            # unchanged, just split across the four sub-blocks)
+            for i in range(len(hbm_refs)):
+                stages[i][...] = dbufs[i][slot, :,
+                                          pl.ds(m * 8, 8), :].astype(f32)
+            subE = stageE_ref[...]                           # (Th, 8, n)
+            subO = stageO_ref[...]
+            subTE = stageTE_ref[...] if directed else None
+            subTO = stageTO_ref[...] if directed else None
             def row(sub):
                 # adjacency row broadcastable over the chain axis: (1, Th, n)
                 # time-major, (Th, 1, n) chain-major
@@ -803,7 +812,7 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_adj
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8)
     scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * n_adj
-               + [pltpu.VMEM((Th, 32, n_pad), jnp.float32)] * n_adj
+               + [pltpu.VMEM((Th, 8, n_pad), jnp.float32)] * n_adj
                + [pltpu.SemaphoreType.DMA((n_adj, 2))])
     out_shape = (jax.ShapeDtypeStruct(x_shape, x_l.dtype),
                  jax.ShapeDtypeStruct(x_shape, x_l.dtype),
