@@ -81,28 +81,35 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
     if _use_fullT(T, n_pad, directed):
         t_pad = 8
         y_bytes = _fullT_adj_bytes(T, n_pad, directed)
+        per_chain = 16 * t_pad * n_pad * 4 + (1 << 17)
+        raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
     else:
         th = -(-T // 2)
-        th_pad = -(-th // 8) * 8
-        t_pad = 2 * th_pad
+        t_pad = 2 * (-(-th // 8) * 8)
         n_adj = 4 if directed else 2
         # double-buffered int8 row blocks (outer dims unpadded: the (32, n)
         # trailing tile is already aligned) + the 8-row f32 stage
         y_bytes = n_adj * (2 * th * 32 * n_pad
                            + th * 8 * n_pad * 4)
-    per_chain = 16 * t_pad * n_pad * 4 + (1 << 17)
-    raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
-    if not _use_fullT(T, n_pad, directed) and raw >= 8:
-        # >= 8 chains routes to the chain-major layout (_call_kernel),
-        # whose buffers carry no time-axis sublane padding: per-chain cost
-        # drops from ~16 padded to ~16 real time rows (24 when directed —
-        # the twin eta_in/eta_out evaluations keep extra temporaries
-        # live; a 32-chain directed north-star compile measured ~23
-        # buffer-equivalents per chain before OOMing the 16 MB scoped
-        # budget)
-        n_buf = 24 if directed else 16
-        per_chain = n_buf * 2 * (-(-T // 2)) * n_pad * 4 + (1 << 16)
+        # per-chain double-buffered stream tile scratch: (8d + 8) (th, 128)
+        # f32 tiles at d = 2
+        scr = 24 * th * 128 * 4
+        # with the invariant streams HBM-streamed, the VMEM-resident
+        # per-chain state is x/acc plus compiler temporaries: ~10 t_pad-row
+        # buffer equivalents time-major (n = 8192 single-chain compiles,
+        # n = 16384 does not)
+        per_chain = 10 * t_pad * n_pad * 4 + scr + (1 << 17)
         raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
+        if raw >= 8:
+            # >= 8 chains routes to the chain-major layout (_call_kernel),
+            # whose buffers carry no time-axis sublane padding (~10 real
+            # time-row buffer equivalents per chain: 48 chains compile at
+            # T=10/n=512, 56 OOM; 16 when directed — the twin
+            # eta_in/eta_out evaluations keep extra temporaries live
+            # (32 directed chains compile in one invocation at T=10/n=512)
+            n_buf = 16 if directed else 10
+            per_chain = n_buf * 2 * th * n_pad * 4 + scr + (1 << 16)
+            raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
     if not clamp:
         return raw                 # 0 => not even one chain fits VMEM
     return max(1, raw)
@@ -123,13 +130,15 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
 
     params: (C, 8, n) lane rows [b_in|b, b_out, tau_sq, sigma_sq, lmbda,
     radii] (pre-broadcast; scalar rows lane-constant, radii lane-varying).
-    xE/xO : (d, C, Th, n).  The scan-invariant per-node streams arrive
-    lane-blocked with G = n/128: epsE/epsO, muzE/muzO (d*G, C, Th, 128)
-    and uE/O, sigzE/O (G, C, Th, 128); epsE holds phase 0's even rows and
-    epsO phase 1's odd rows (the other parities of each phase's stream are
-    never consumed) and is pre-multiplied by the step size.  yE/yO
-    (+ytE/ytO) : (Th, n32, n) int8.  Outputs: xE/xO (d, C, Th, n),
-    accE/accO (C, Th, n) — interleaved back to (T, ...) by the caller.
+    xE/xO : (d, C, Th, n).  The scan-invariant per-node streams live in
+    HBM, lane-blocked with G = n/128: epsE/epsO, muzE/muzO
+    (G, d, C, Th, 128) and uE/O, sigzE/O (G, C, Th, 128); each 128-node
+    tile is DMA'd into a double-buffered VMEM scratch one tile ahead of
+    the scan.  epsE holds phase 0's even rows and epsO phase 1's odd rows
+    (the other parities of each phase's stream are never consumed) and is
+    pre-multiplied by the step size.  yE/yO (+ytE/ytO) : (Th, n32, n)
+    int8, also HBM-streamed.  Outputs: xE/xO (d, C, Th, n), accE/accO
+    (C, Th, n) — interleaved back to (T, ...) by the caller.
 
     ``c_sublane=True`` selects the chain-major layout (round-3 rework):
     every (C, Th, n) buffer becomes (Th, C, n) (and params (8, C, n)), so
@@ -144,12 +153,16 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
          uE_ref, uO_ref, muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
          xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
          blkE_ref, blkO_ref, blkTE_ref, blkTO_ref,
-         stageE_ref, stageO_ref, stageTE_ref, stageTO_ref, sem_ref) = refs
+         stageE_ref, stageO_ref, stageTE_ref, stageTO_ref, sem_ref,
+         epsE_scr, epsO_scr, uE_scr, uO_scr,
+         muzE_scr, muzO_scr, sigzE_scr, sigzO_scr, sem2_ref) = refs
     else:
         (epsE_ref, epsO_ref, uE_ref, uO_ref,
          muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
          xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
-         blkE_ref, blkO_ref, stageE_ref, stageO_ref, sem_ref) = refs
+         blkE_ref, blkO_ref, stageE_ref, stageO_ref, sem_ref,
+         epsE_scr, epsO_scr, uE_scr, uO_scr,
+         muzE_scr, muzO_scr, sigzE_scr, sigzO_scr, sem2_ref) = refs
         stageTE_ref = stageTO_ref = None
 
     if c_sublane:
@@ -368,6 +381,23 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     for i in range(len(hbm_refs)):
         dma(i, 0, 0).start()
 
+    # Invariant per-node stream supply: (G, ·, s0, s1, 128) HBM arrays,
+    # one 128-node tile DMA'd per stream into a double-buffered scratch
+    # one tile (= 4 adjacency blocks) ahead.  muz/sigz carry dummy zeros
+    # when not a mixture — their copies are skipped.
+    stream_hbm = (epsE_ref, epsO_ref, uE_ref, uO_ref)
+    stream_scr = (epsE_scr, epsO_scr, uE_scr, uO_scr)
+    if mixture:
+        stream_hbm += (muzE_ref, muzO_ref, sigzE_ref, sigzO_ref)
+        stream_scr += (muzE_scr, muzO_scr, sigzE_scr, sigzO_scr)
+
+    def dma2(s, slot, g):
+        return pltpu.make_async_copy(
+            stream_hbm[s].at[g], stream_scr[s].at[slot], sem2_ref.at[s, slot])
+
+    for s in range(len(stream_hbm)):
+        dma2(s, 0, 0).start()
+
     def block_body(b, carry):
         j0 = b * 32
         slot = jax.lax.rem(b, 2)
@@ -383,19 +413,33 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
         stages = (stageE_ref, stageO_ref) + ((stageTE_ref, stageTO_ref)
                                              if directed else ())
 
-        # one 128-lane tile read per stream per 32-node block (g advances
-        # every 4 blocks; re-reading per block keeps the index affine)
+        # stream tile bookkeeping: g advances every 4 blocks.  At each g
+        # boundary wait for tile g's copies (started 4 blocks earlier, or
+        # before the loop for g = 0) and prefetch tile g + 1 into the
+        # other slot — whose previous tenant (tile g - 1) was last read in
+        # the preceding block.
         g = b // 4
         jl0 = j0 - g * 128
+        slot2 = jax.lax.rem(g, 2)
 
-        def blkd(ref):                   # (d*G, ·, ·, 128) -> d tiles
-            return [ref[di * G + g] for di in range(d)]
+        @pl.when(jax.lax.rem(b, 4) == 0)
+        def _():
+            for s in range(len(stream_hbm)):
+                dma2(s, slot2, g).wait()
 
-        eps_blk = (blkd(epsE_ref), blkd(epsO_ref))
-        u_blk = (uE_ref[g], uO_ref[g])
+        @pl.when(jnp.logical_and(jax.lax.rem(b, 4) == 0, g + 1 < G))
+        def _():
+            for s in range(len(stream_hbm)):
+                dma2(s, 1 - slot2, g + 1).start()
+
+        def blkd(scr):                  # (2, d, ·, ·, 128) -> d tiles
+            return [scr[slot2, di] for di in range(d)]
+
+        eps_blk = (blkd(epsE_scr), blkd(epsO_scr))
+        u_blk = (uE_scr[slot2], uO_scr[slot2])
         if mixture:
-            muz_blk = (blkd(muzE_ref), blkd(muzO_ref))
-            sigz_blk = (sigzE_ref[g], sigzO_ref[g])
+            muz_blk = (blkd(muzE_scr), blkd(muzO_scr))
+            sigz_blk = (sigzE_scr[slot2], sigzO_scr[slot2])
         else:
             muz_blk = sigz_blk = None
         streams = (eps_blk, u_blk, muz_blk, sigz_blk)
@@ -790,7 +834,11 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
         a_shape = (C, Th, n_pad)
 
     # lane-block the scan-invariant streams (see _node_scan_kernel):
-    # (·, s0, s1, n) -> (·G, s0, s1, 128)
+    # (·, s0, s1, n) -> (G, ·, s0, s1, 128).  The per-node streams are
+    # consumed exactly once (at their node's own step), so they live in
+    # HBM and each 128-node tile is DMA'd into a double-buffered scratch
+    # one tile ahead — like the adjacency, this removes their VMEM
+    # residency, which was the per-chain capacity cap.
     G = n_pad // 128
 
     def blk3(a):
@@ -799,21 +847,29 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
 
     def blk4(a):
         d_, s0, s1 = a.shape[:3]
-        a = jnp.transpose(a.reshape(d_, s0, s1, G, 128), (0, 3, 1, 2, 4))
-        return a.reshape(d_ * G, s0, s1, 128)
+        return jnp.transpose(a.reshape(d_, s0, s1, G, 128), (3, 0, 1, 2, 4))
 
     epsE, epsO, muzE, muzO = (blk4(a) for a in (epsE, epsO, muzE, muzO))
     uE, uO, sigzE, sigzO = (blk3(a) for a in (uE, uO, sigzE, sigzO))
+    s0, s1 = epsE.shape[2], epsE.shape[3]
 
     n_adj = 4 if directed else 2
-    # adjacency stays in HBM (streamed by block inside the kernel); all
-    # other operands are VMEM-resident
+    # adjacency and the invariant streams stay in HBM (streamed by block
+    # inside the kernel); only the position field and params are
+    # VMEM-resident operands
     in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_adj
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8)
+                + [pl.BlockSpec(memory_space=pltpu.ANY)] * 8)
     scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * n_adj
                + [pltpu.VMEM((Th, 8, n_pad), jnp.float32)] * n_adj
-               + [pltpu.SemaphoreType.DMA((n_adj, 2))])
+               + [pltpu.SemaphoreType.DMA((n_adj, 2))]
+               # stream tile scratch: eps/muz (2, d, s0, s1, 128) x2
+               # parities, u/sigz (2, s0, s1, 128) x2 parities
+               + [pltpu.VMEM((2, d, s0, s1, 128), jnp.float32)] * 2
+               + [pltpu.VMEM((2, s0, s1, 128), jnp.float32)] * 2
+               + [pltpu.VMEM((2, d, s0, s1, 128), jnp.float32)] * 2
+               + [pltpu.VMEM((2, s0, s1, 128), jnp.float32)] * 2
+               + [pltpu.SemaphoreType.DMA((8, 2))])
     out_shape = (jax.ShapeDtypeStruct(x_shape, x_l.dtype),
                  jax.ShapeDtypeStruct(x_shape, x_l.dtype),
                  jax.ShapeDtypeStruct(a_shape, x_l.dtype),

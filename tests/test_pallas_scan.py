@@ -236,13 +236,18 @@ def test_vmem_capacity_gate():
     from dynetlsm_tpu.ops.pallas_scan import _vmem_max_chains
     assert _vmem_max_chains(10, 512) >= 32            # north-star: one call
     assert _vmem_max_chains(10, 512, clamp=False) >= 32
-    # the directed kernel keeps ~24 buffer-equivalents live per chain; a
-    # 32-chain single invocation measured 2 MB over the 16 MB scoped VMEM
-    # budget, so the capacity must force chunking below 27 chains
-    assert 8 <= _vmem_max_chains(10, 512, directed=True) <= 26
-    big = _vmem_max_chains(10, 8192, clamp=False)     # beyond one chain
-    assert big <= 0
-    assert _vmem_max_chains(10, 8192) == 1            # clamped floor
+    # with the invariant streams HBM-streamed (round 3) a 32-chain directed
+    # invocation fits VMEM (probed at T=10/n=512), but the capacity must
+    # stay below the undirected one (twin eta evaluations)
+    assert 32 <= _vmem_max_chains(10, 512, directed=True) \
+        <= _vmem_max_chains(10, 512)
+    # the directed kernel's doubled adjacency still exceeds VMEM at
+    # n = 8192 — the dispatch gate must fall back to the XLA scan —
+    # while a single undirected chain fits (probed)
+    assert _vmem_max_chains(10, 8192, clamp=False) >= 1
+    assert _vmem_max_chains(10, 8192, directed=True, clamp=False) <= 0
+    assert _vmem_max_chains(10, 16384, clamp=False) <= 0
+    assert _vmem_max_chains(10, 16384) == 1           # clamped floor
 
 
 def test_parallel_scheme_rejects_injected_noise(rng):
