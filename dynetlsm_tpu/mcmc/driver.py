@@ -48,6 +48,82 @@ def shard_state(state, mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
+# ---------------------------------------------------------------------------
+# spatial (node-axis) sharding — scaling a fit beyond one chip's HBM
+# ---------------------------------------------------------------------------
+
+# state fields carrying a per-node axis, and that axis's position in the
+# chain-batched leaf (axis 0 is always the chain axis).  Y / missing_sum are
+# (C, T, n, n): sharding their *row* axis matches the Y_fixed layout below.
+_NODE_AXIS = {'X': 2, 'z': 2, 'step_X': 2, 'acc_X': 2, 'radii': 1,
+              'X_map': 2, 'X_ref': 2, 'radii_map': 1,
+              'Y': 2, 'missing_sum': 2, 'ctrl_in': 2, 'ctrl_out': 2}
+
+
+def spatial_mesh(n_chain_shards, n_node_shards, devices=None):
+    """2-D ``('chains', 'nodes')`` mesh: data-parallel over chains and
+    model-parallel over the node axis within each chain.
+
+    The node axis is how a fit outgrows one chip: Y rows, latent positions,
+    labels, and per-site MH bookkeeping are sharded over ``nodes`` and XLA
+    inserts the all-gathers (positions) / psums (loglik reductions) the
+    pairwise terms need — riding ICI on a real slice.  (The reference has no
+    distributed execution at all; SURVEY.md §5.8.)
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    use = n_chain_shards * n_node_shards
+    if use > devices.size:
+        raise ValueError('spatial mesh %dx%d needs %d devices, have %d'
+                         % (n_chain_shards, n_node_shards, use, devices.size))
+    return Mesh(devices.flat[:use].reshape(n_chain_shards, n_node_shards),
+                ('chains', 'nodes'))
+
+
+def spatial_auto_mesh(n_chains, n_nodes, node_devices, devices=None):
+    """Mesh for ``node_devices``-way node sharding: uses as many device rows
+    as divide ``n_chains``.  Requires the node axis to split evenly."""
+    if n_nodes % node_devices:
+        raise ValueError(
+            'node_devices=%d must divide n_nodes=%d (pad the network or '
+            'choose a divisor)' % (node_devices, n_nodes))
+    devices = list(devices) if devices is not None else jax.devices()
+    rows = max(1, len(devices) // node_devices)
+    rows = min(rows, n_chains)
+    while rows > 1 and n_chains % rows:
+        rows -= 1
+    return spatial_mesh(rows, node_devices, devices)
+
+
+def shard_state_spatial(state, mesh):
+    """Place a chain-batched state pytree on a ``('chains', 'nodes')`` mesh:
+    every leaf shards its chain axis; leaves with a per-node axis
+    (:data:`_NODE_AXIS`) shard that axis over ``nodes`` too."""
+    if mesh is None:
+        return state
+
+    def put(name, x):
+        if x is None:
+            return None
+        spec = [None] * jnp.ndim(x)
+        if spec:
+            spec[0] = 'chains'
+        ax = _NODE_AXIS.get(name)
+        if ax is not None and jnp.ndim(x) > ax:
+            spec[ax] = 'nodes'
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return type(state)(*[put(f, x) for f, x in zip(state._fields, state)])
+
+
+def shard_network_spatial(Y, mesh):
+    """Place an observed (T, n, n) network (or (T, n) per-node tensor) with
+    its row/node axis sharded over ``nodes``, replicated over chains."""
+    if mesh is None:
+        return Y
+    spec = (None, 'nodes') + (None,) * (jnp.ndim(Y) - 2)
+    return jax.device_put(Y, NamedSharding(mesh, P(*spec)))
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def replicate_state(state0, n_chains, key):
     """Broadcast a single-chain state pytree across a new leading chain axis
@@ -64,7 +140,7 @@ def replicate_state(state0, n_chains, key):
 
 
 def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
-                     donate=True, chunk=512):
+                     donate=True, chunk=512, state_shardings=None):
     """Compile a runner executing up to ``chunk`` traced iterations.
 
     ``trace_fn(state) -> pytree`` selects what is recorded each (thinned)
@@ -77,6 +153,12 @@ def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
     including the final partial one — reuses one compiled executable
     (a static scan length would trigger a full sweep recompile per distinct
     remainder).
+
+    ``state_shardings`` (a pytree of shardings matching the state) pins the
+    output state to the input layout.  Without it GSPMD may return the state
+    in whatever partitioning it found internally convenient, and the *next*
+    chunk — keyed on its input shardings — would recompile; with a 2-D
+    ``('chains', 'nodes')`` mesh it really does move the node axis.
     """
     # the sweep gets a chain-invariant scalar iteration index alongside the
     # per-chain state: chains advance in lockstep, so the cadence-gated
@@ -107,9 +189,18 @@ def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
 
         return jax.lax.fori_loop(0, n_samples, body, (state, buf))
 
-    runner = jax.jit(run, donate_argnums=(0,) if donate else ())
+    kwargs = {}
+    if state_shardings is not None:
+        kwargs['out_shardings'] = (state_shardings, None)
+    runner = jax.jit(run, donate_argnums=(0,) if donate else (), **kwargs)
     runner.chunk = chunk    # collect_traces validates its chunk against this
     return runner
+
+
+def state_shardings_of(state):
+    """The per-leaf shardings of a placed state pytree (for
+    :func:`make_scan_runner`'s ``state_shardings``)."""
+    return jax.tree.map(lambda x: x.sharding, state)
 
 
 def collect_traces(runner, state, n_samples, chunk=512, progress=None,
@@ -142,9 +233,12 @@ def collect_traces(runner, state, n_samples, chunk=512, progress=None,
             'trace buffer (%d); out-of-range buffer writes would silently '
             'clamp onto the last row' % (chunk, runner_chunk))
 
+    spatial = mesh is not None and 'nodes' in mesh.axis_names
+
     def place(st):
         st = jax.tree.map(jnp.asarray, st)
-        return shard_state(st, mesh)
+        return shard_state_spatial(st, mesh) if spatial else \
+            shard_state(st, mesh)
 
     if n_samples <= 0:
         # the runner donates its input state; return the (unadvanced)

@@ -88,6 +88,9 @@ class SweepConfig:
     # CRF table sampler: number of exactly-drawn Bernoulli terms per cell
     # before the Poisson tail takes over (mcmc/hdp.py); >= n_nodes is exact
     table_cap: int = 64
+    # node-axis (spatial) sharding is active: keep every op on the XLA/GSPMD
+    # path (the Pallas kernels assume unsharded operands)
+    spatial: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +102,7 @@ def _fused_pair_ok(cfg, n):
     """Whether the intercept MH can use the fused Pallas pair kernel (no
     materialised distance tensor): undirected, fixed Y, on a real TPU, and
     large enough that the dense path's HBM traffic matters."""
-    if cfg.is_directed or cfg.sample_missing or n < 256:
+    if cfg.is_directed or cfg.sample_missing or cfg.spatial or n < 256:
         return False
     return jax.default_backend() == 'tpu'
 

@@ -42,6 +42,27 @@ def to_device_f32(x):
     return jax.numpy.asarray(np.asarray(x, dtype=DTYPE))
 
 
+def resolve_fit_mesh(n_chains, n_nodes, node_devices, devices,
+                     latent_update):
+    """Pick the fit mesh.
+
+    Default: 1-D ``chains`` mesh (data-parallel chains, no collectives).
+    With ``node_devices > 1``: 2-D ``('chains', 'nodes')`` mesh sharding the
+    node axis inside each chain — for networks whose (T, n, n) tensors
+    outgrow one chip.  Returns ``(mesh or None, spatial flag)``.
+    """
+    from ..mcmc.driver import auto_mesh, spatial_auto_mesh
+    if node_devices and node_devices > 1:
+        if latent_update != 'parallel':
+            raise ValueError(
+                "node_devices > 1 shards the node axis across devices; the "
+                "sequential exact node scan cannot be partitioned — "
+                "construct the model with latent_update='parallel'")
+        return (spatial_auto_mesh(n_chains, n_nodes, node_devices, devices),
+                True)
+    return auto_mesh(n_chains, devices), False
+
+
 def chain_traces_to_numpy(traces, n_chains):
     """Reorder scan traces from (samples, chains, ...) to reference layout.
 

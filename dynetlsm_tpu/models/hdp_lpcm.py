@@ -14,15 +14,16 @@ from ..math.init import longitudinal_kmeans
 from ..mcmc.states import MixtureState
 from ..mcmc.sweeps import SweepConfig, make_hdp_sweep
 from ..mcmc.driver import (
-    auto_mesh, shard_state, replicate_state, make_scan_runner,
-    collect_traces)
+    auto_mesh, shard_state, shard_state_spatial, shard_network_spatial,
+    replicate_state, make_scan_runner, collect_traces,
+    state_shardings_of)
 from ..model_selection.approx_bic import select_bic
 from ..model_selection.posterior_vi import minimize_posterior_expected_vi
 from ..ops.forecast import marginal_forecast
 from ..ops.distances import pairwise_distances
 from .base import (
     validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
-    build_case_control, resolve_n_control)
+    build_case_control, resolve_n_control, resolve_fit_mesh)
 from .mixture_base import MixtureModelMixin, init_from_lsm, resolve_hyperpriors
 
 __all__ = ['DynamicNetworkHDPLPCM']
@@ -88,6 +89,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
                  random_state=None,
                  n_chains=1,
                  devices=None,
+                 node_devices=1,
                  trace_chunk=512,
                  checkpoint_dir=None,
                  latent_update='exact',
@@ -129,6 +131,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         self.random_state = random_state
         self.n_chains = n_chains
         self.devices = devices
+        self.node_devices = node_devices
         self.trace_chunk = trace_chunk
         self.checkpoint_dir = checkpoint_dir
         self.latent_update = latent_update
@@ -207,10 +210,18 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
             tune_radii=True,
             n_control=resolve_n_control(self.n_control, n),
             n_resample_control=self.n_resample_control,
-            latent_update=self.latent_update)
+            latent_update=self.latent_update,
+            spatial=bool(self.node_devices and self.node_devices > 1))
         self._cfg = cfg
 
+        # the mesh is needed before the sweep factory closes over Y: under
+        # node sharding the observed network must already live row-sharded
+        mesh, spatial = resolve_fit_mesh(self.n_chains, n, self.node_devices,
+                                         self.devices, self.latent_update)
+
         Y_dev = to_device_f32(self.Y_fit_)
+        if spatial:
+            Y_dev = shard_network_spatial(Y_dev, mesh)
         miss_dev = jnp.asarray(miss_mask) if sample_missing else None
         cc_static, ctrl0 = build_case_control(cfg, Y_dev, self.Y_fit_, rng,
                                               miss_mask=miss_mask)
@@ -253,9 +264,9 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
 
         state = replicate_state(state0, self.n_chains,
                                 jax.random.PRNGKey(rng.randint(0, 2**31 - 1)))
-        mesh = auto_mesh(self.n_chains, self.devices)
         if mesh is not None:
-            state = shard_state(state, mesh)
+            state = (shard_state_spatial(state, mesh) if spatial
+                     else shard_state(state, mesh))
         self.mesh_ = mesh
 
         def trace_fn(s):
@@ -269,7 +280,10 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
             return out
 
         thin = self.thin or 1
-        runner = make_scan_runner(sweep, trace_fn, thin=thin, chunk=self.trace_chunk)
+        runner = make_scan_runner(sweep, trace_fn, thin=thin, chunk=self.trace_chunk,
+                                  state_shardings=(
+                                      state_shardings_of(state)
+                                      if mesh is not None else None))
         n_total = total_iterations(self.n_iter, self.tune, self.burn)
         n_samples = (n_total - 1) // thin
         state, traces = collect_traces(runner, state, n_samples,
