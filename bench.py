@@ -117,8 +117,11 @@ def measure_sweeps(state, sweep, n_chains, chunk, n_rounds=3):
     t0 = time.time()
     for _ in range(n_rounds):
         state, ys = runner(state, chunk)
-    np.asarray(ys['logp'])
+    logp = np.asarray(ys['logp'])
     elapsed = time.time() - t0
+    # a sweep rate over a diverged posterior is not a result (a collapsed
+    # sigma once drove the log joint to -inf while throughput looked fine)
+    assert np.isfinite(logp).all(), 'non-finite logp in benchmark trace'
     return n_rounds * chunk * n_chains / elapsed
 
 
@@ -142,6 +145,7 @@ def measure_ess(state, sweep, n_chains, chunk, n_samples):
         remaining -= step_n
     elapsed = time.time() - t0
     logps = np.concatenate(logps, axis=0)      # (samples, chains)
+    assert np.isfinite(logps).all(), 'non-finite logp in benchmark trace'
     ess = sum(effective_n_geyer(logps[:, c]) for c in range(n_chains))
     return ess / elapsed
 

@@ -14,7 +14,7 @@ from ..math.init import longitudinal_kmeans
 from ..mcmc.states import MixtureState
 from ..mcmc.sweeps import SweepConfig, make_lpcm_sweep
 from ..mcmc.driver import (
-    auto_mesh, shard_state, shard_state_spatial, shard_network_spatial,
+    shard_state, shard_state_spatial, shard_network_spatial,
     replicate_state, make_scan_runner, collect_traces,
     state_shardings_of)
 from ..model_selection.posterior_vi import minimize_posterior_expected_vi

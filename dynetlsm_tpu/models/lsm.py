@@ -24,7 +24,7 @@ from ..math.init import (
 from ..mcmc.states import LSMState
 from ..mcmc.sweeps import SweepConfig, make_lsm_sweep, _lsm_logp
 from ..mcmc.driver import (
-    auto_mesh, shard_state, shard_state_spatial, shard_network_spatial,
+    shard_state, shard_state_spatial, shard_network_spatial,
     replicate_state, make_scan_runner, collect_traces,
     state_shardings_of)
 from ..metrics import network_auc

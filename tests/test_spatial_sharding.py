@@ -15,9 +15,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dynetlsm_tpu import DynamicNetworkLSM, DynamicNetworkHDPLPCM
 from dynetlsm_tpu.datasets import simple_splitting_dynamic_network
-from dynetlsm_tpu.mcmc.driver import (
-    spatial_mesh, spatial_auto_mesh, shard_state_spatial,
-    shard_network_spatial, replicate_state)
+from dynetlsm_tpu.mcmc.driver import spatial_mesh, spatial_auto_mesh
 
 
 @pytest.fixture(scope='module')
