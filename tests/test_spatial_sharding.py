@@ -62,6 +62,32 @@ def test_hdp_spatial_fit(network):
     assert m.auc_ > 0.6
 
 
+def test_case_control_spatial_fit(network):
+    """Case-control x node sharding — the intended large-n configuration
+    (docs/scaling.md): control-index gathers cross shard boundaries, so
+    GSPMD must resolve them against the sharded position field."""
+    m = DynamicNetworkLSM(n_iter=30, tune=30, burn=30, n_chains=2,
+                          node_devices=4, latent_update='parallel',
+                          n_control=8, random_state=5).fit(network)
+    assert m.mesh_.devices.shape == (2, 4)
+    assert np.isfinite(np.asarray(m.logps_)).all()
+    assert m.auc_ > 0.6
+
+
+def test_directed_spatial_fit():
+    rng = np.random.RandomState(0)
+    Y = (rng.rand(2, 24, 24) < 0.2).astype(float)
+    for t in range(2):
+        np.fill_diagonal(Y[t], 0)
+    m = DynamicNetworkLSM(is_directed=True, n_iter=30, tune=30, burn=30,
+                          n_chains=2, node_devices=4,
+                          latent_update='parallel', random_state=5).fit(Y)
+    assert m.mesh_.devices.shape == (2, 4)
+    # radii are (chains, n): sharded over nodes too
+    assert np.isfinite(np.asarray(m.logps_)).all()
+    assert m.auc_ > 0.55
+
+
 def test_spatial_requires_parallel_update(network):
     with pytest.raises(ValueError, match='parallel'):
         DynamicNetworkLSM(n_iter=10, tune=0, burn=0, node_devices=4,
