@@ -154,7 +154,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         emb, Y_fit = init_from_lsm(
             Y, self.is_directed, self.n_features, sample_missing,
             self.n_control, self.n_resample_control,
-            rng.randint(0, 2**31 - 1))
+            rng.randint(0, 2**31 - 1), node_devices=self.node_devices)
         self.Y_fit_ = Y_fit
         X0 = emb.X_
         intercept0 = emb.intercept_
