@@ -88,6 +88,48 @@ def test_directed_spatial_fit():
     assert m.auc_ > 0.55
 
 
+def test_spatial_checkpoint_resume(network, tmp_path, monkeypatch):
+    """Resuming onto a 2-D mesh re-places the state node-sharded
+    (collect_traces routes through shard_state_spatial)."""
+    import pytest as _pytest
+    from dynetlsm_tpu.mcmc import driver as drv
+    import dynetlsm_tpu.models.lsm as lsm_mod
+
+    ckpt = str(tmp_path / 'sp_ckpt')
+    kwargs = dict(n_iter=40, tune=30, burn=30, random_state=5,
+                  trace_chunk=25, n_chains=2, node_devices=4,
+                  latent_update='parallel')
+
+    full = DynamicNetworkLSM(**kwargs).fit(network)
+
+    class Stop(Exception):
+        pass
+
+    orig = drv.collect_traces
+    calls = {'chunks': 0}
+
+    def failing_collect(runner, state, n_samples, chunk=512, progress=None,
+                        checkpoint_dir=None, mesh=None):
+        def counting_progress(done, total):
+            calls['chunks'] += 1
+            if calls['chunks'] == 2:
+                raise Stop()
+        return orig(runner, state, n_samples, chunk=chunk,
+                    progress=counting_progress,
+                    checkpoint_dir=checkpoint_dir, mesh=mesh)
+
+    monkeypatch.setattr(lsm_mod, 'collect_traces', failing_collect)
+    with _pytest.raises(Stop):
+        DynamicNetworkLSM(checkpoint_dir=ckpt, **kwargs).fit(network)
+    monkeypatch.setattr(lsm_mod, 'collect_traces', orig)
+
+    resumed = DynamicNetworkLSM(checkpoint_dir=ckpt, **kwargs).fit(network)
+    assert resumed.state_sharding_.spec == P('chains', None, 'nodes', None)
+    np.testing.assert_allclose(resumed.Xs_, full.Xs_, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(resumed.logps_),
+                               np.asarray(full.logps_), rtol=1e-4, atol=1e-3)
+
+
 def test_spatial_requires_parallel_update(network):
     with pytest.raises(ValueError, match='parallel'):
         DynamicNetworkLSM(n_iter=10, tune=0, burn=0, node_devices=4,
