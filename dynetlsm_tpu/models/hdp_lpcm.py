@@ -223,6 +223,8 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         if spatial:
             Y_dev = shard_network_spatial(Y_dev, mesh)
         miss_dev = jnp.asarray(miss_mask) if sample_missing else None
+        if spatial and miss_dev is not None:
+            miss_dev = shard_network_spatial(miss_dev, mesh)
         cc_static, ctrl0 = build_case_control(cfg, Y_dev, self.Y_fit_, rng,
                                               miss_mask=miss_mask)
         sweep = make_hdp_sweep(None if sample_missing else Y_dev, miss_dev,

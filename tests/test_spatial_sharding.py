@@ -130,6 +130,21 @@ def test_spatial_checkpoint_resume(network, tmp_path, monkeypatch):
                                np.asarray(full.logps_), rtol=1e-4, atol=1e-3)
 
 
+def test_missing_dyads_spatial_fit(network):
+    """Missing-dyad resampling under node sharding: the imputed Y lives in
+    the (sharded) state and the miss mask is row-sharded too."""
+    Y = np.array(network, dtype=float)
+    rng = np.random.RandomState(1)
+    miss = rng.rand(*Y.shape) < 0.05
+    miss = np.triu(miss, 1) | np.swapaxes(np.triu(miss, 1), 1, 2)
+    Y[miss] = np.nan
+    m = DynamicNetworkLSM(n_iter=30, tune=30, burn=30, n_chains=2,
+                          node_devices=4, latent_update='parallel',
+                          random_state=5).fit(Y)
+    assert m.mesh_.devices.shape == (2, 4)
+    assert np.isfinite(np.asarray(m.logps_)).all()
+
+
 def test_spatial_requires_parallel_update(network):
     with pytest.raises(ValueError, match='parallel'):
         DynamicNetworkLSM(n_iter=10, tune=0, burn=0, node_devices=4,
