@@ -112,16 +112,22 @@ def northstar_network(T=10, n=500, n_groups=8, seed=3, directed=False):
 def measure_sweeps(state, sweep, n_chains, chunk, n_rounds=3):
     from dynetlsm_tpu.mcmc.driver import make_scan_runner
     runner = make_scan_runner(sweep, lambda s: {'logp': s.logp}, chunk=chunk)
-    state, ys = runner(state, chunk)           # compile + warm
-    np.asarray(ys['logp'])                     # host fetch: real barrier
+    state, ys0 = runner(state, chunk)          # compile + warm
+    np.asarray(ys0['logp'])                    # host fetch: real barrier
     t0 = time.time()
+    traces = []
     for _ in range(n_rounds):
         state, ys = runner(state, chunk)
-    logp = np.asarray(ys['logp'])
+        traces.append(ys['logp'])              # device refs: no sync
+    np.asarray(traces[-1])                     # barrier on the last round
     elapsed = time.time() - t0
     # a sweep rate over a diverged posterior is not a result (a collapsed
-    # sigma once drove the log joint to -inf while throughput looked fine)
-    assert np.isfinite(logp).all(), 'non-finite logp in benchmark trace'
+    # sigma once drove the log joint to -inf while throughput looked fine);
+    # every measured round AND the warm-up chunk must be finite — checking
+    # only the final chunk would miss a transient divergence that recovered
+    for tr in [ys0['logp']] + traces:
+        assert np.isfinite(np.asarray(tr)).all(), \
+            'non-finite logp in benchmark trace'
     return n_rounds * chunk * n_chains / elapsed
 
 

@@ -75,8 +75,18 @@ def spatial_mesh(n_chain_shards, n_node_shards, devices=None):
     if use > devices.size:
         raise ValueError('spatial mesh %dx%d needs %d devices, have %d'
                          % (n_chain_shards, n_node_shards, use, devices.size))
-    return Mesh(devices.flat[:use].reshape(n_chain_shards, n_node_shards),
-                ('chains', 'nodes'))
+    shape = (n_chain_shards, n_node_shards)
+    try:
+        # topology-aware placement: jax.devices() enumeration order does not
+        # follow the physical torus on real slices, and a raw reshape could
+        # put a node-shard column on non-neighbouring chips — the per-sweep
+        # all-gather/psum axis must ride adjacent ICI links
+        from jax.experimental import mesh_utils
+        dev_arr = mesh_utils.create_device_mesh(
+            shape, devices=list(devices.flat[:use]))
+    except Exception:
+        dev_arr = devices.flat[:use].reshape(shape)
+    return Mesh(dev_arr, ('chains', 'nodes'))
 
 
 def spatial_auto_mesh(n_chains, n_nodes, node_devices, devices=None):

@@ -150,11 +150,21 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         self.nan_mask_ = nan_mask
         T, n, _ = Y.shape
 
+        # resolve the mesh first: this validates the node_devices
+        # configuration before any expensive initialisation work, and
+        # under node sharding the network must be placed row-sharded
+        # before the sweep factory closes over it
+        mesh, spatial = resolve_fit_mesh(self.n_chains, n,
+                                         self.node_devices,
+                                         self.devices,
+                                         self.latent_update)
+
         # ---- nested LSM init + kmeans (reference hdp_lpcm.py:48-141)
         emb, Y_fit = init_from_lsm(
             Y, self.is_directed, self.n_features, sample_missing,
             self.n_control, self.n_resample_control,
-            rng.randint(0, 2**31 - 1), node_devices=self.node_devices)
+            rng.randint(0, 2**31 - 1), node_devices=self.node_devices,
+            devices=self.devices)
         self.Y_fit_ = Y_fit
         X0 = emb.X_
         intercept0 = emb.intercept_
@@ -211,13 +221,8 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
             n_control=resolve_n_control(self.n_control, n),
             n_resample_control=self.n_resample_control,
             latent_update=self.latent_update,
-            spatial=bool(self.node_devices and self.node_devices > 1))
+            spatial=spatial)
         self._cfg = cfg
-
-        # the mesh is needed before the sweep factory closes over Y: under
-        # node sharding the observed network must already live row-sharded
-        mesh, spatial = resolve_fit_mesh(self.n_chains, n, self.node_devices,
-                                         self.devices, self.latent_update)
 
         Y_dev = to_device_f32(self.Y_fit_)
         if spatial:

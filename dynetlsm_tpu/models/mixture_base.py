@@ -30,15 +30,17 @@ from .lsm import DynamicNetworkLSM
 
 def init_from_lsm(Y, is_directed, n_features, sample_missing,
                   n_control, n_resample_control, random_state,
-                  lsm_kwargs=None, node_devices=1):
+                  lsm_kwargs=None, node_devices=1, devices=None):
     """Nested short LSM run used to initialise X / intercept / radii
     (reference hdp_lpcm.py:58-86).
 
-    ``node_devices`` propagates the caller's node-axis sharding: a network
-    that needs a sharded main fit would OOM the single-chip init too.
+    ``node_devices`` / ``devices`` propagate the caller's sharding: a
+    network that needs a sharded main fit would OOM the single-chip init,
+    and the init must not spill onto devices the caller excluded.
     """
     common = dict(n_iter=500, tune=250, burn=250, n_features=n_features,
-                  is_directed=is_directed, random_state=random_state)
+                  is_directed=is_directed, random_state=random_state,
+                  devices=devices)
     if node_devices and node_devices > 1:
         common.update(node_devices=node_devices, latent_update='parallel')
     if is_directed:
