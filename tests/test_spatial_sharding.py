@@ -151,6 +151,24 @@ def test_spatial_requires_parallel_update(network):
                           random_state=5).fit(network)
 
 
+@pytest.mark.slow
+def test_spatial_posterior_agrees_with_replicated(network):
+    """Matched-budget fits sharded vs replicated sample the same posterior:
+    a partitioning bug that perturbed the kernel (dropped psum terms, wrong
+    row masks) would shift the post-burn log joint and the fit quality far
+    beyond reduction-order noise."""
+    kw = dict(n_iter=800, tune=400, burn=400, n_components=5,
+              latent_update='parallel', random_state=5, n_chains=2)
+    a = DynamicNetworkHDPLPCM(**kw).fit(network)
+    b = DynamicNetworkHDPLPCM(node_devices=4, **kw).fit(network)
+    la = np.asarray(a.logps_)[:, 401:]
+    lb = np.asarray(b.logps_)[:, 401:]
+    # mode-switching on the splitting network keeps the per-sample sd large
+    # (~300); a broken likelihood shifts the mean by thousands
+    assert abs(la.mean() - lb.mean()) < 0.5 * max(la.std(), lb.std())
+    assert abs(a.auc_ - b.auc_) < 0.05
+
+
 def test_spatial_evaluations_match_replicated(network):
     """The deterministic building blocks compute the same values under node
     sharding (GSPMD changes the partitioning, not the math).
