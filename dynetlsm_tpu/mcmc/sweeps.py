@@ -249,6 +249,19 @@ def _count_chain_loglik(n_trans, nk, w0, w_trans):
 # LSM sweep
 # ---------------------------------------------------------------------------
 
+def _int8_adjacency(Y_fixed):
+    """Store a fixed 0/1 adjacency as int8 on TPU: every consumer either
+    compares (``Y == 0``) or multiplies into float expressions (type
+    promotion casts back, bit-identically for 0/1), so the dense likelihood
+    passes read a quarter of the HBM bytes.  TPU-only — XLA:CPU's scalar
+    int8->f32 converts roughly double the CPU-mesh test tier's runtime,
+    and on CPU bandwidth is not the bottleneck.  The sampled-missing path
+    keeps float Y in the state (it is rewritten in place each sweep)."""
+    if Y_fixed is None or jax.default_backend() != 'tpu':
+        return Y_fixed
+    return Y_fixed.astype(jnp.int8)
+
+
 def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
                    cc_static=None):
     """Build the LSM sweep.  ``Y_fixed`` is the imputed network (used when no
@@ -256,6 +269,7 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
     tensor or None; ``cc_static`` the fixed case-control edge structure
     (in_edges / out_edges / degrees device arrays) when enabled."""
     intercept_prior = jnp.asarray(intercept_prior)
+    Y_fixed = _int8_adjacency(Y_fixed)
     use_cc = cc_static is not None
 
     def sweep(state: LSMState, it_hint=None) -> LSMState:
@@ -430,6 +444,7 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
                     cc_static=None):
     """Finite-K LPCM sweep (reference lpcm.py:514-701)."""
     intercept_prior = jnp.asarray(intercept_prior)
+    Y_fixed = _int8_adjacency(Y_fixed)
     K = cfg.n_components
     use_cc = cc_static is not None
 
@@ -552,6 +567,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
                    cc_static=None):
     """Sticky HDP-LPCM sweep (reference hdp_lpcm.py:823-1069)."""
     intercept_prior = jnp.asarray(intercept_prior)
+    Y_fixed = _int8_adjacency(Y_fixed)
     K = cfg.n_components
     use_cc = cc_static is not None
 

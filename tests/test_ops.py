@@ -179,3 +179,63 @@ def test_emissions_against_reference_formula(rng):
     lik = np.asarray(emission_likelihoods(
         jnp.asarray(X), jnp.asarray(mu), jnp.asarray(sigma), lam))
     np.testing.assert_allclose(lik.max(axis=-1), 1.0, rtol=1e-5)
+
+
+def test_int8_adjacency_bit_identical(rng):
+    """The TPU path stores fixed adjacencies as int8 (mcmc/sweeps.py
+    _int8_adjacency); 0/1 int8 must promote back to the identical float
+    values through every likelihood expression."""
+    import jax
+    from dynetlsm_tpu.ops.likelihoods import (
+        undirected_loglik_full, directed_loglik_full, undirected_loglik_pair)
+    from dynetlsm_tpu.ops.distances import pairwise_distances
+
+    T, n = 3, 20
+    Y = (rng.rand(T, n, n) < 0.3).astype(np.float32)
+    Y = np.triu(Y, 1)
+    Y = Y + np.swapaxes(Y, 1, 2)
+    X = rng.randn(T, n, 2).astype(np.float32)
+    dist = pairwise_distances(jnp.asarray(X))
+    radii = jnp.asarray(rng.rand(n).astype(np.float32) + 0.5)
+
+    Yf = jnp.asarray(Y)
+    Yi = Yf.astype(jnp.int8)
+    np.testing.assert_array_equal(
+        np.asarray(undirected_loglik_full(Yf, dist, 1.0)),
+        np.asarray(undirected_loglik_full(Yi, dist, 1.0)))
+    np.testing.assert_array_equal(
+        np.asarray(directed_loglik_full(Yf, dist, radii, 1.0, 0.5)),
+        np.asarray(directed_loglik_full(Yi, dist, radii, 1.0, 0.5)))
+    a = undirected_loglik_pair(Yf, dist, 1.0, 1.1)
+    b = undirected_loglik_pair(Yi, dist, 1.0, 1.1)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    # a full HDP sweep built from int8 Y matches the f32-built sweep
+    # bit-for-bit under a shared key (what the TPU gate relies on)
+    from dynetlsm_tpu.mcmc.sweeps import SweepConfig, make_hdp_sweep
+    from dynetlsm_tpu.mcmc.states import MixtureState
+    K = 4
+    cfg = SweepConfig(n_components=K, latent_update='parallel')
+    state = MixtureState(
+        key=jax.random.PRNGKey(0), it=jnp.zeros((), jnp.int32),
+        X=jnp.asarray(X), intercept=jnp.ones(1), radii=None, Y=None,
+        z=jnp.asarray(rng.randint(0, K, (T, n)), jnp.int32),
+        mu=jnp.asarray(rng.randn(K, 2), jnp.float32),
+        sigma=jnp.ones(K), lmbda=jnp.asarray(0.9),
+        weights=jnp.full((T, K, K), 1.0 / K),
+        beta=jnp.full(K, 1.0 / K), gamma=jnp.asarray(1.0),
+        alpha_init=jnp.asarray(1.0), alpha=jnp.asarray(1.0),
+        kappa=jnp.asarray(4.0), init_weights=None, trans_weights=None,
+        mean_var=jnp.asarray(1.0), b_scale=jnp.asarray(2.0),
+        step_X=jnp.full((T, n), 0.1), acc_X=jnp.zeros((T, n)),
+        step_int=jnp.full((1,), 0.1), acc_int=jnp.zeros((1,)),
+        step_radii=None, acc_radii=None,
+        logp=jnp.zeros(()), missing_sum=None)
+    prior = np.zeros(1, np.float32)
+    out_f = make_hdp_sweep(Yf, None, prior, cfg)(state)
+    out_i = make_hdp_sweep(Yi, None, prior, cfg)(state)
+    np.testing.assert_array_equal(np.asarray(out_f.X), np.asarray(out_i.X))
+    np.testing.assert_array_equal(np.asarray(out_f.z), np.asarray(out_i.z))
+    np.testing.assert_array_equal(np.asarray(out_f.logp),
+                                  np.asarray(out_i.logp))
