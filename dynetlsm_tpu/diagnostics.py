@@ -25,9 +25,15 @@ def autocorrelation(x, maxlags=100):
 
 def effective_n(x, maxlags=100):
     """Effective sample size n / (1 + 2 sum_k rho_k)
-    (reference trace_utils.py:39-45)."""
+    (reference trace_utils.py:39-45).
+
+    Strongly anti-correlated traces can drive the denominator to (or
+    below) zero, where the estimator is meaningless; floor it so short
+    noisy traces report at most super-efficient n rather than inf/negative.
+    """
     rho = autocorrelation(x, maxlags=maxlags)
-    return x.shape[0] / (1.0 + 2.0 * np.sum(rho[1:]))
+    denom = 1.0 + 2.0 * np.sum(rho[1:])
+    return x.shape[0] / max(denom, 1e-8)
 
 
 def _yule_walker(x, order):

@@ -2,9 +2,19 @@
 import numpy as np
 
 from sklearn.metrics import roc_auc_score, mutual_info_score
-from sklearn.metrics.cluster import entropy
 
 from .array_utils import triu_indices_from_3d, nondiag_indices_from_3d
+
+
+def entropy(labels):
+    """Shannon entropy (nats) of a label assignment — replaces
+    ``sklearn.metrics.cluster.entropy``, deprecated in sklearn 1.8."""
+    labels = np.asarray(labels).ravel()
+    if labels.size == 0:
+        return 1.0
+    counts = np.bincount(labels.astype(np.int64) - labels.min())
+    p = counts[counts > 0] / labels.size
+    return float(-np.sum(p * np.log(p)))
 
 
 def network_auc(Y_true, Y_pred, is_directed=False, nan_mask=None):
