@@ -56,7 +56,11 @@ def _forward_sample(key, pm, w0, w):
 
     def step(z_prev, inputs):
         t_key, pm_t, w_t = inputs
-        probas = jnp.take(w_t, z_prev, axis=0).T * pm_t  # (K, n)
+        # w_t[z_prev].T as a one-hot contraction: (n, K) @ (K, K) on the
+        # MXU instead of an n-row gather (bit-exact — the one-hot matmul
+        # sums one exact product and K-1 exact zeros)
+        oh = jax.nn.one_hot(z_prev, K, dtype=pm_t.dtype)
+        probas = (oh @ w_t).T * pm_t                     # (K, n)
         logits = jnp.log(jnp.clip(probas, SMALL_EPS, None))
         g = jax.random.gumbel(t_key, (K, n), pm.dtype)
         z_t = jnp.argmax(logits + g, axis=0).astype(jnp.int32)
