@@ -31,7 +31,8 @@ from .metropolis import maybe_tune
 from .latent import sample_latent_positions
 from .coefficients import (
     sample_intercept_undirected, sample_intercepts_directed, sample_radii)
-from .labels import sample_labels_block, sample_labels_block_lpcm
+from .labels import (
+    sample_labels_block, sample_labels_block_lpcm, _label_statistics)
 from .hdp import (
     sample_tables, sample_mbar, sample_concentration_param,
     sample_alpha_kappa_rho)
@@ -420,6 +421,50 @@ def _mixture_common_logp(cfg, Y, X, intercept, radii, dist, z, mu, sigma,
     if cfg.c0 is not None:
         ll += (cfg.c0 - 1.0) * jnp.log(b_scale) - cfg.d0 * b_scale
     return ll
+
+
+def lpcm_logp_at_state(cfg, Y, intercept_prior, X, intercept, radii, z, mu,
+                       sigma, lmbda, init_weights, trans_weights, mean_var,
+                       b_scale):
+    """Full LPCM log joint at an arbitrary state — used for the stored
+    initial-sample logp, which the reference also records (lpcm.py:489)."""
+    K = cfg.n_components
+    T = X.shape[0]
+    n_trans, nk, resp = _label_statistics(z, K)
+    dist = pairwise_distances(X)
+    logp = dirichlet_logpdf(init_weights,
+                            jnp.full((K,), cfg.dirichlet_prior))
+    logp += jnp.sum(dirichlet_logpdf(
+        trans_weights, jnp.full((K, K), cfg.dirichlet_prior)))
+    w_stack = jnp.broadcast_to(trans_weights, (T, K, K))
+    logp += _count_chain_loglik(n_trans, nk, init_weights, w_stack)
+    logp += _mixture_common_logp(
+        cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
+        mean_var, b_scale, intercept_prior, resp=resp)
+    return logp
+
+
+def hdp_logp_at_state(cfg, Y, intercept_prior, X, intercept, radii, z, mu,
+                      sigma, lmbda, weights, beta, gamma, alpha_init, alpha,
+                      kappa, mean_var, b_scale):
+    """Full HDP-LPCM log joint at an arbitrary state — used for the stored
+    initial-sample logp, which the reference also records
+    (hdp_lpcm.py:798-809)."""
+    K = cfg.n_components
+    T = X.shape[0]
+    n_trans, nk, resp = _label_statistics(z, K)
+    dist = pairwise_distances(X)
+    w0 = weights[0, 0]
+    logp = dirichlet_logpdf(beta, jnp.full((K,), gamma / K))
+    logp += dirichlet_logpdf(w0, alpha_init * beta)
+    conc_w = alpha * beta[None, None, :] + kappa * jnp.eye(K)[None]
+    logp += jnp.sum(dirichlet_logpdf(
+        weights[1:], jnp.broadcast_to(conc_w, (T - 1, K, K))))
+    logp += _count_chain_loglik(n_trans, nk, w0, weights)
+    logp += _mixture_common_logp(
+        cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
+        mean_var, b_scale, intercept_prior, resp=resp)
+    return logp
 
 
 def _finish_tuning(cfg, state, acc_X, acc_int, acc_radii):

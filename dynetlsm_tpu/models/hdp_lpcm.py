@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from ..config import DTYPE
 from ..math.init import longitudinal_kmeans
 from ..mcmc.states import MixtureState
-from ..mcmc.sweeps import SweepConfig, make_hdp_sweep
+from ..mcmc.sweeps import SweepConfig, make_hdp_sweep, hdp_logp_at_state
 from ..mcmc.driver import (
     shard_state, shard_state_spatial, shard_network_spatial,
     replicate_state, make_scan_runner, collect_traces,
@@ -236,18 +236,43 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
                                intercept_prior.astype(DTYPE), cfg,
                                cc_static=cc_static)
 
+        X0d = to_device_f32(X0)
+        b0d = to_device_f32(intercept0)
+        r0d = to_device_f32(radii0) if self.is_directed else None
+        z0d = jnp.asarray(z0, jnp.int32)
+        mu0d, sigma0d = to_device_f32(mu0), to_device_f32(sigma0)
+        w0d, beta0d = to_device_f32(weights0), to_device_f32(beta0)
+
+        # true log joint of the initial sample (reference hdp_lpcm.py:798-809;
+        # exact dense likelihood — one-time cost), one jitted program
+        @jax.jit
+        def _init_logp(Yd, Xd, bd, rd, zd, mud, sigd, wd, betad, prior):
+            return hdp_logp_at_state(
+                cfg, Yd, prior, Xd, bd, rd, zd, mud, sigd,
+                jnp.asarray(lmbda0, DTYPE), wd, betad,
+                jnp.asarray(float(self.gamma), DTYPE),
+                jnp.asarray(float(self.alpha_init), DTYPE),
+                jnp.asarray(float(self.alpha), DTYPE),
+                jnp.asarray(float(self.kappa), DTYPE),
+                jnp.asarray(self.mean_variance_prior_, DTYPE),
+                jnp.asarray(self.b_, DTYPE))
+
+        logp0 = _init_logp(Y_dev, X0d, b0d, r0d, z0d, mu0d, sigma0d,
+                           w0d, beta0d,
+                           to_device_f32(intercept_prior))
+
         state0 = MixtureState(
             key=jax.random.PRNGKey(rng.randint(0, 2**31 - 1)),
             it=np.zeros((), np.int32),
-            X=to_device_f32(X0),
-            intercept=to_device_f32(intercept0),
-            radii=to_device_f32(radii0) if self.is_directed else None,
+            X=X0d,
+            intercept=b0d,
+            radii=r0d,
             Y=Y_dev if sample_missing else None,
-            z=np.asarray(z0, np.int32),
-            mu=to_device_f32(mu0), sigma=to_device_f32(sigma0),
+            z=z0d,
+            mu=mu0d, sigma=sigma0d,
             lmbda=np.asarray(lmbda0, DTYPE),
-            weights=to_device_f32(weights0),
-            beta=to_device_f32(beta0),
+            weights=w0d,
+            beta=beta0d,
             gamma=np.asarray(float(self.gamma), DTYPE),
             alpha_init=np.asarray(float(self.alpha_init), DTYPE),
             alpha=np.asarray(float(self.alpha), DTYPE),
@@ -263,7 +288,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
             step_radii=(np.asarray(float(self.step_size_radii), DTYPE)
                         if self.is_directed else None),
             acc_radii=(np.zeros((), DTYPE) if self.is_directed else None),
-            logp=np.zeros((), DTYPE),
+            logp=logp0,
             missing_sum=(np.zeros((T, n, n), DTYPE) if sample_missing
                          else None),
             ctrl_in=ctrl0[0] if ctrl0 else None,
@@ -321,7 +346,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         self.weights_ = with_init('weights', weights0)
         self.betas_ = with_init('beta', beta0)
         self.lambdas_ = with_init('lmbda', np.asarray(lmbda0))
-        self.logps_ = with_init('logp', np.asarray(-np.inf))
+        self.logps_ = with_init('logp', np.asarray(float(logp0)))
         self.gammas_ = with_init('gamma', np.asarray(float(self.gamma)))
         self.alphas_ = with_init('alpha', np.asarray(float(self.alpha)))
         self.kappas_ = with_init('kappa', np.asarray(float(self.kappa)))

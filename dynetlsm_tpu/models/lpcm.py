@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from ..config import DTYPE
 from ..math.init import longitudinal_kmeans
 from ..mcmc.states import MixtureState
-from ..mcmc.sweeps import SweepConfig, make_lpcm_sweep
+from ..mcmc.sweeps import SweepConfig, make_lpcm_sweep, lpcm_logp_at_state
 from ..mcmc.driver import (
     shard_state, shard_state_spatial, shard_network_spatial,
     replicate_state, make_scan_runner, collect_traces,
@@ -202,20 +202,41 @@ class DynamicNetworkLPCM(MixtureModelMixin):
                                 intercept_prior.astype(DTYPE), cfg,
                                 cc_static=cc_static)
 
+        X0d = to_device_f32(X0)
+        b0d = to_device_f32(intercept0)
+        r0d = to_device_f32(radii0) if self.is_directed else None
+        z0d = jnp.asarray(z0, jnp.int32)
+        mu0d, sigma0d = to_device_f32(mu0), to_device_f32(sigma0)
+        iw0d = to_device_f32(init_weights0)
+        tw0d = to_device_f32(trans_weights0)
+
+        # true log joint of the initial sample (reference lpcm.py:489;
+        # exact dense likelihood — one-time cost), one jitted program
+        @jax.jit
+        def _init_logp(Yd, Xd, bd, rd, zd, mud, sigd, iwd, twd, prior):
+            return lpcm_logp_at_state(
+                cfg, Yd, prior, Xd, bd, rd, zd, mud, sigd,
+                jnp.asarray(lmbda0, DTYPE), iwd, twd,
+                jnp.asarray(self.mean_variance_prior_, DTYPE),
+                jnp.asarray(self.b_, DTYPE))
+
+        logp0 = _init_logp(Y_dev, X0d, b0d, r0d, z0d, mu0d, sigma0d,
+                           iw0d, tw0d, to_device_f32(intercept_prior))
+
         state0 = MixtureState(
             key=jax.random.PRNGKey(rng.randint(0, 2**31 - 1)),
             it=np.zeros((), np.int32),
-            X=to_device_f32(X0),
-            intercept=to_device_f32(intercept0),
-            radii=to_device_f32(radii0) if self.is_directed else None,
+            X=X0d,
+            intercept=b0d,
+            radii=r0d,
             Y=Y_dev if sample_missing else None,
-            z=np.asarray(z0, np.int32),
-            mu=to_device_f32(mu0), sigma=to_device_f32(sigma0),
+            z=z0d,
+            mu=mu0d, sigma=sigma0d,
             lmbda=np.asarray(lmbda0, DTYPE),
             weights=None, beta=None, gamma=None, alpha_init=None,
             alpha=None, kappa=None,
-            init_weights=to_device_f32(init_weights0),
-            trans_weights=to_device_f32(trans_weights0),
+            init_weights=iw0d,
+            trans_weights=tw0d,
             mean_var=np.asarray(self.mean_variance_prior_, DTYPE),
             b_scale=np.asarray(self.b_, DTYPE),
             step_X=np.full((T, n), self.step_size_X_, DTYPE),
@@ -226,7 +247,7 @@ class DynamicNetworkLPCM(MixtureModelMixin):
             step_radii=(np.asarray(float(self.step_size_radii), DTYPE)
                         if self.is_directed else None),
             acc_radii=(np.zeros((), DTYPE) if self.is_directed else None),
-            logp=np.zeros((), DTYPE),
+            logp=logp0,
             missing_sum=(np.zeros((T, n, n), DTYPE) if sample_missing
                          else None),
             ctrl_in=ctrl0[0] if ctrl0 else None,
@@ -285,7 +306,7 @@ class DynamicNetworkLPCM(MixtureModelMixin):
         self.lambdas_ = with_init('lmbda', np.asarray(lmbda0))
         # the init sample's log joint is not evaluated on device; -inf keeps
         # it out of MAP selection when burn-in is zero
-        self.logps_ = with_init('logp', np.asarray(-np.inf))
+        self.logps_ = with_init('logp', np.asarray(float(logp0)))
         if self.is_directed:
             self.radiis_ = with_init('radii', radii0)
 

@@ -16,7 +16,7 @@ def test_hdp_directed_smoke():
     assert m.X_.shape == (T, n, 2)
     assert m.radii_.shape == (n,)
     np.testing.assert_allclose(m.radii_.sum(), 1.0, rtol=1e-4)
-    assert np.isfinite(m.logps_[1:]).all()
+    assert np.isfinite(m.logps_).all()
     assert hasattr(m, 'intercept_in_geweke_')
     assert m.auc_ > 0.5
 
@@ -31,6 +31,6 @@ def test_lpcm_missing_dyads():
     Y[1, 2, 3] = Y[1, 3, 2] = -1
     m = DynamicNetworkLPCM(n_iter=40, tune=30, burn=30, n_components=2,
                            random_state=2).fit(Y)
-    assert np.isfinite(m.logps_[1:]).all()
+    assert np.isfinite(m.logps_).all()
     assert hasattr(m, 'missings_')
     assert (m.Y_fit_ != -1).all()

@@ -29,7 +29,7 @@ def test_lpcm_smoke_and_recovery(community_net):
     assert model.mu_.shape == (3, 2)
     assert model.sigma_.shape == (3,)
     assert 0 < float(model.lambda_[0]) < 1
-    assert np.isfinite(model.logps_[1:]).all()
+    assert np.isfinite(model.logps_).all()
     assert model.auc_ > 0.75
     assert adjusted_rand_score(z_true[0], model.z_[0]) > 0.8
     # selection / co-occurrence artefacts
@@ -47,7 +47,7 @@ def test_hdp_lpcm_smoke(community_net):
     T, n, _ = Y.shape
     assert model.X_.shape == (T, n, 2)
     assert model.z_.shape == (T, n)
-    assert np.isfinite(model.logps_[1:]).all()
+    assert np.isfinite(model.logps_).all()
     assert not np.isnan(model.betas_).any()
     # selection artefacts exist
     assert model.bic_.shape[1] == 4
@@ -59,6 +59,41 @@ def test_hdp_lpcm_smoke(community_net):
     assert hasattr(model, 'intercept_geweke_')
     # posterior group count histograms
     assert len(model.posterior_group_counts_) == T
+
+
+def test_logp_at_state_matches_sweep_logp(community_net):
+    """The standalone log-joint evaluators (used for the stored init-row
+    logp, reference lpcm.py:489 / hdp_lpcm.py:798-809) must reproduce the
+    in-sweep logp when evaluated at the sweep's own final state."""
+    import jax
+    import jax.numpy as jnp
+    from dynetlsm_tpu.mcmc.sweeps import (
+        hdp_logp_at_state, lpcm_logp_at_state)
+
+    Y, _ = community_net
+
+    m = DynamicNetworkHDPLPCM(n_iter=30, tune=20, burn=20, n_components=5,
+                              random_state=11).fit(Y)
+    s = jax.tree.map(lambda x: x[0], m._final_state)
+    Yd = jnp.asarray(m.Y_fit_, jnp.float32)
+    prior = jnp.asarray(m.intercept_prior_, jnp.float32)
+    lp = hdp_logp_at_state(
+        m._cfg, Yd, prior, s.X, s.intercept, s.radii, s.z, s.mu, s.sigma,
+        s.lmbda, s.weights, s.beta, s.gamma, s.alpha_init, s.alpha,
+        s.kappa, s.mean_var, s.b_scale)
+    np.testing.assert_allclose(float(lp), float(s.logp), rtol=1e-4)
+    assert np.isfinite(m.logps_[0])
+
+    p = DynamicNetworkLPCM(n_iter=30, tune=20, burn=20, n_components=3,
+                           random_state=11).fit(Y)
+    s = jax.tree.map(lambda x: x[0], p._final_state)
+    Yd = jnp.asarray(p.Y_fit_, jnp.float32)
+    prior = jnp.asarray(p.intercept_prior_, jnp.float32)
+    lp = lpcm_logp_at_state(
+        p._cfg, Yd, prior, s.X, s.intercept, s.radii, s.z, s.mu, s.sigma,
+        s.lmbda, s.init_weights, s.trans_weights, s.mean_var, s.b_scale)
+    np.testing.assert_allclose(float(lp), float(s.logp), rtol=1e-4)
+    assert np.isfinite(p.logps_[0])
 
 
 def test_hdp_lpcm_set_best_model(community_net):
