@@ -12,7 +12,8 @@ import numpy as np
 
 from sklearn.preprocessing import LabelEncoder
 
-__all__ = ['load_monks', 'load_got', 'load_alliances']
+__all__ = ['load_monks', 'load_got', 'load_got_edgelists',
+           'network_from_edgelist', 'load_alliances']
 
 RAW = os.path.join(os.path.dirname(__file__), 'raw_data')
 
@@ -43,9 +44,17 @@ def load_monks(dynamic=True, is_directed=True, include_waverers=False,
     return Y, groups
 
 
-def load_got(seasons=None, weight_min=None):
-    """Game of Thrones co-occurrence networks, one snapshot per season
-    (reference load_got.py:45-67).  Returns (Y, character names)."""
+def network_from_edgelist(edgelist, n_nodes):
+    """Symmetric binary adjacency from an (n_edges, 2) integer edge list
+    (reference load_got.py:16-25)."""
+    Y = np.zeros((n_nodes, n_nodes))
+    Y[edgelist[:, 0], edgelist[:, 1]] = 1.0
+    return ((Y + Y.T) > 0).astype(np.float64)
+
+
+def load_got_edgelists():
+    """Per-season GoT co-occurrence edge lists as one dataframe with
+    summed weights (reference load_got.py:28-42)."""
     import pandas as pd
 
     frames = []
@@ -54,8 +63,14 @@ def load_got(seasons=None, weight_min=None):
                          skiprows=1)
         frames.append(df)
     data = pd.concat(frames)
-    data = data.groupby(['source', 'target', 'season'],
+    return data.groupby(['source', 'target', 'season'],
                         as_index=False).agg({'weight': 'sum'})
+
+
+def load_got(seasons=None, weight_min=None):
+    """Game of Thrones co-occurrence networks, one snapshot per season
+    (reference load_got.py:45-67).  Returns (Y, character names)."""
+    data = load_got_edgelists()
 
     if seasons is not None:
         data = data[data['season'].isin(np.atleast_1d(seasons))]
@@ -71,8 +86,8 @@ def load_got(seasons=None, weight_min=None):
     Y = np.zeros((season_vals.shape[0], n, n))
     for t, s in enumerate(season_vals):
         mask = (data['season'] == s).to_numpy()
-        Y[t, src[mask], tgt[mask]] = 1.0
-        Y[t] = ((Y[t] + Y[t].T) > 0).astype(np.float64)
+        edges = np.stack([src[mask], tgt[mask]], axis=1)
+        Y[t] = network_from_edgelist(edges, n)
     return Y, encoder.classes_
 
 

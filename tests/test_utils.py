@@ -139,3 +139,17 @@ def test_load_monks_static():
     Y, groups = load_monks(dynamic=False, is_directed=False)
     assert Y.shape == (18, 18)
     assert groups.shape == (18,)
+
+
+def test_got_edgelist_loaders():
+    from dynetlsm_tpu.datasets import load_got_edgelists, network_from_edgelist
+
+    data = load_got_edgelists()
+    assert set(data.columns) == {'source', 'target', 'season', 'weight'}
+    assert (data['weight'] >= 1).all()
+
+    edges = np.array([[0, 1], [1, 2], [1, 2]])
+    A = network_from_edgelist(edges, 4)
+    assert A.shape == (4, 4)
+    assert np.array_equal(A, A.T)
+    assert A[0, 1] == 1 and A[2, 1] == 1 and A[3].sum() == 0
