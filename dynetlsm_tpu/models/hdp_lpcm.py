@@ -483,6 +483,34 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         self._set_from_model(model_id, flat)
         return self
 
+    def logp(self, X, intercept, mu, sigma, z, weights, beta, lmbda,
+             radii=None):
+        """Log joint density of a posterior sample under the fitted
+        hyperparameters (reference hdp_lpcm.py:1188-1280).  Uses the exact
+        dense network likelihood and, when resampled during the fit, the
+        final gamma / alpha / kappa / alpha_init / tau^2 / b values (the
+        reference mutates its attributes in-loop the same way)."""
+        s = getattr(self, '_final_state', None)
+
+        def cur(field, fallback):
+            v = getattr(s, field, None) if s is not None else None
+            return fallback if v is None else v[0]
+
+        return float(hdp_logp_at_state(
+            self._cfg, jnp.asarray(self.Y_fit_, jnp.float32),
+            jnp.asarray(self.intercept_prior_, DTYPE),
+            jnp.asarray(X, DTYPE), jnp.atleast_1d(jnp.asarray(intercept, DTYPE)),
+            None if radii is None else jnp.asarray(radii, DTYPE),
+            jnp.asarray(z, jnp.int32), jnp.asarray(mu, DTYPE),
+            jnp.asarray(sigma, DTYPE), jnp.asarray(lmbda, DTYPE),
+            jnp.asarray(weights, DTYPE), jnp.asarray(beta, DTYPE),
+            jnp.asarray(cur('gamma', self.gamma), DTYPE),
+            jnp.asarray(cur('alpha_init', self.alpha_init), DTYPE),
+            jnp.asarray(cur('alpha', self.alpha), DTYPE),
+            jnp.asarray(cur('kappa', self.kappa), DTYPE),
+            jnp.asarray(cur('mean_var', self.mean_variance_prior_), DTYPE),
+            jnp.asarray(cur('b_scale', self.b_), DTYPE)))
+
     # ------------------------------------------------------------ forecasts
 
     @property

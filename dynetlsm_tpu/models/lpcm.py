@@ -346,6 +346,28 @@ class DynamicNetworkLPCM(MixtureModelMixin):
         self.case_control_sampler_ = None
         return self
 
+    def logp(self, X, intercept, mu, sigma, z, init_weights, trans_weights,
+             lmbda, radii=None):
+        """Log joint density of a posterior sample under the fitted
+        hyperparameters (reference lpcm.py:770-856).  Uses the exact dense
+        network likelihood and, when resampled during the fit, the final
+        tau^2 / b values (the reference mutates its attributes in-loop
+        the same way)."""
+        s = getattr(self, '_final_state', None)
+        mean_var = (s.mean_var[0] if s is not None
+                    else self.mean_variance_prior_)
+        b_scale = s.b_scale[0] if s is not None else self.b_
+        return float(lpcm_logp_at_state(
+            self._cfg, jnp.asarray(self.Y_fit_, jnp.float32),
+            jnp.asarray(self.intercept_prior_, DTYPE),
+            jnp.asarray(X, DTYPE), jnp.atleast_1d(jnp.asarray(intercept, DTYPE)),
+            None if radii is None else jnp.asarray(radii, DTYPE),
+            jnp.asarray(z, jnp.int32), jnp.asarray(mu, DTYPE),
+            jnp.asarray(sigma, DTYPE), jnp.asarray(lmbda, DTYPE),
+            jnp.asarray(init_weights, DTYPE),
+            jnp.asarray(trans_weights, DTYPE),
+            jnp.asarray(mean_var, DTYPE), jnp.asarray(b_scale, DTYPE)))
+
     # ------------------------------------------------------------ forecasts
 
     @property

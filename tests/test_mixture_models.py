@@ -83,6 +83,11 @@ def test_logp_at_state_matches_sweep_logp(community_net):
         s.kappa, s.mean_var, s.b_scale)
     np.testing.assert_allclose(float(lp), float(s.logp), rtol=1e-4)
     assert np.isfinite(m.logps_[0])
+    # public method (reference hdp_lpcm.py:1188) routes through the same
+    # evaluator with the fit's final hyperparameters
+    lp_m = m.logp(s.X, s.intercept, s.mu, s.sigma, s.z, s.weights,
+                  s.beta, s.lmbda)
+    np.testing.assert_allclose(lp_m, float(s.logp), rtol=1e-4)
 
     p = DynamicNetworkLPCM(n_iter=30, tune=20, burn=20, n_components=3,
                            random_state=11).fit(Y)
@@ -94,6 +99,9 @@ def test_logp_at_state_matches_sweep_logp(community_net):
         s.lmbda, s.init_weights, s.trans_weights, s.mean_var, s.b_scale)
     np.testing.assert_allclose(float(lp), float(s.logp), rtol=1e-4)
     assert np.isfinite(p.logps_[0])
+    lp_m = p.logp(s.X, s.intercept, s.mu, s.sigma, s.z, s.init_weights,
+                  s.trans_weights, s.lmbda)
+    np.testing.assert_allclose(lp_m, float(s.logp), rtol=1e-4)
 
 
 def test_hdp_lpcm_set_best_model(community_net):
