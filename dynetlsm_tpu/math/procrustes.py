@@ -13,13 +13,16 @@ def procrustes_rotation(X_ref, X):
 
     Parameters are 2-D (m, d) matrices.
     """
-    u, _, vt = jnp.linalg.svd(X.T @ X_ref, full_matrices=False)
-    return u @ vt
+    # highest precision: TPU default matmul precision (bf16 inputs) would
+    # make the applied rotation measurably non-orthogonal
+    cross = jnp.matmul(X.T, X_ref, precision='highest')
+    u, _, vt = jnp.linalg.svd(cross, full_matrices=False)
+    return jnp.matmul(u, vt, precision='highest')
 
 
 def static_procrustes_rotation(X_ref, X):
     R = procrustes_rotation(X_ref, X)
-    return X @ R, R
+    return jnp.matmul(X, R, precision='highest'), R
 
 
 def longitudinal_procrustes_rotation(X_ref, X):
@@ -30,7 +33,7 @@ def longitudinal_procrustes_rotation(X_ref, X):
     """
     T, n, d = X.shape
     R = procrustes_rotation(X_ref.reshape(T * n, d), X.reshape(T * n, d))
-    return X @ R, R
+    return jnp.matmul(X, R, precision='highest'), R
 
 
 def longitudinal_procrustes_transform(Xs, means=None):
@@ -42,9 +45,10 @@ def longitudinal_procrustes_transform(Xs, means=None):
     def align(X):
         T, n, d = X.shape
         R = procrustes_rotation(X_ref.reshape(T * n, d), X.reshape(T * n, d))
-        return X @ R, R
+        return jnp.matmul(X, R, precision='highest'), R
 
     rotated, Rs = jax.vmap(align)(Xs)
     if means is None:
         return rotated, None
-    return rotated, jnp.einsum('skd,sde->ske', means, Rs)
+    return rotated, jnp.einsum('skd,sde->ske', means, Rs,
+                               precision='highest')

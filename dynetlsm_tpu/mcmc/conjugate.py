@@ -30,10 +30,13 @@ def sample_cluster_means(key, X, resp, nk, sigma, lmbda, mean_variance_prior):
           + nk[0] / sigma
           + (lmbda ** 2 / sigma) * nk_rest)
 
-    # mean statistic
-    m0 = jnp.einsum('ik,id->kd', resp[0], X[0]) / sigma[:, None]
+    # mean statistic (highest precision: TPU default matmul precision would
+    # round the position values to bf16 inside the sufficient statistics)
+    m0 = jnp.einsum('ik,id->kd', resp[0], X[0],
+                    precision='highest') / sigma[:, None]
     diff_rest = X[1:] - (1.0 - lmbda) * X_prev[1:]
-    m_rest = jnp.einsum('tik,tid->kd', resp[1:], diff_rest)
+    m_rest = jnp.einsum('tik,tid->kd', resp[1:], diff_rest,
+                        precision='highest')
     mk = m0 + (lmbda / sigma[:, None]) * m_rest
 
     var = 1.0 / pk
@@ -59,19 +62,23 @@ def sample_cluster_variances(key, X, resp, nk, mu, lmbda, a, b):
     ak = 0.5 * (jnp.sum(nk, axis=0) * d + a)
     mu_sq = jnp.sum(mu * mu, axis=-1)                            # (K,)
 
-    # t=0 residuals: X0 - mu_k
+    # t=0 residuals: X0 - mu_k (highest precision throughout: bf16-input
+    # matmuls would round the residual statistics feeding the posterior)
     x0_sq = jnp.sum(X[0] * X[0], axis=-1)                        # (n,)
-    s0 = jnp.einsum('ik,id->kd', resp[0], X[0])                  # (K, d)
-    ss0 = (resp[0].T @ x0_sq
+    s0 = jnp.einsum('ik,id->kd', resp[0], X[0],
+                    precision='highest')                         # (K, d)
+    ss0 = (jnp.matmul(resp[0].T, x0_sq, precision='highest')
            - 2.0 * jnp.sum(s0 * mu, axis=-1)
            + nk[0] * mu_sq)
     if T > 1:
         # t>0 residuals: (X_t - (1-lam) X_{t-1}) - lam mu_k
         base = X[1:] - (1.0 - lmbda) * X[:-1]                    # (T-1, n, d)
         base_sq = jnp.sum(base * base, axis=-1)                  # (T-1, n)
-        sb = jnp.einsum('tik,tid->kd', resp[1:], base)           # (K, d)
+        sb = jnp.einsum('tik,tid->kd', resp[1:], base,
+                        precision='highest')                     # (K, d)
         nk_rest = jnp.sum(nk[1:], axis=0)                        # (K,)
-        ss_rest = (jnp.einsum('tik,ti->k', resp[1:], base_sq)
+        ss_rest = (jnp.einsum('tik,ti->k', resp[1:], base_sq,
+                              precision='highest')
                    - 2.0 * lmbda * jnp.sum(sb * mu, axis=-1)
                    + (lmbda * lmbda) * nk_rest * mu_sq)
     else:
@@ -97,8 +104,12 @@ def sample_lambda(key, X, z, mu, sigma, lambda_prior, lambda_variance_prior,
         return truncated_normal(key, jnp.asarray(lambda_prior, X.dtype),
                                 jnp.asarray(lambda_variance_prior, X.dtype))
     if resp is not None:
-        mu_z = jnp.einsum('tnk,kd->tnd', resp[1:], mu)   # (T-1, n, d)
-        sig_z = jnp.einsum('tnk,k->tn', resp[1:], sigma)[..., None]
+        # highest precision keeps the one-hot contraction bit-identical to
+        # the gather (TPU default would truncate mu/sigma to bf16)
+        mu_z = jnp.einsum('tnk,kd->tnd', resp[1:], mu,
+                          precision='highest')           # (T-1, n, d)
+        sig_z = jnp.einsum('tnk,k->tn', resp[1:], sigma,
+                           precision='highest')[..., None]
     else:
         mu_z = mu[z[1:]]                            # (T-1, n, d)
         sig_z = sigma[z[1:]][..., None]             # (T-1, n, 1)

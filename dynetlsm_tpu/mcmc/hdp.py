@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.scipy.special import digamma
 
 from ..config import SMALL_EPS
-from ..math.distributions import sample_beta, sample_gamma
+from ..math.distributions import sample_beta, sample_gamma, sample_gamma_fixed
 
 
 def _fast_poisson(key, lam, n_terms=8):
@@ -171,7 +171,6 @@ def sample_alpha_kappa_rho(key, n_trans, m, w, alpha, kappa,
     s = jax.random.uniform(k_s, n_dot.shape) < (n_dot / (n_dot + alpha_kappa))
     # Beta(alpha_kappa + 1, n_dot) via two fixed-round gammas, elementwise
     # (jax.random.gamma's rejection while-loop serialises poorly on TPU)
-    from ..math.distributions import sample_gamma_fixed
     ga = sample_gamma_fixed(k_r, jnp.full(n_dot.shape, alpha_kappa + 1.0))
     gb = sample_gamma_fixed(jax.random.fold_in(k_r, 1),
                             jnp.clip(n_dot, SMALL_EPS, None))

@@ -31,7 +31,9 @@ def _backward_messages(lik, w):
 
     def step(bwds, t):
         pm = lik[t] * bwds                              # (K, n)
-        b = w[t] @ pm                                   # b[j,i] = sum_k w[t,j,k] pm[k,i]
+        # highest precision: bf16 inputs (TPU matmul default) would round
+        # the transition probabilities inside the message recursion
+        b = jnp.matmul(w[t], pm, precision='highest')   # b[j,i] = sum_k w[t,j,k] pm[k,i]
         b = b / jnp.clip(jnp.sum(b, axis=0, keepdims=True), SMALL_EPS, None)
         return b, pm
 
@@ -57,10 +59,11 @@ def _forward_sample(key, pm, w0, w):
     def step(z_prev, inputs):
         t_key, pm_t, w_t = inputs
         # w_t[z_prev].T as a one-hot contraction: (n, K) @ (K, K) on the
-        # MXU instead of an n-row gather (bit-exact — the one-hot matmul
-        # sums one exact product and K-1 exact zeros)
+        # MXU instead of an n-row gather (bit-exact at highest precision —
+        # one exact product plus K-1 exact zeros; TPU default precision
+        # would truncate w_t to bf16 first)
         oh = jax.nn.one_hot(z_prev, K, dtype=pm_t.dtype)
-        probas = (oh @ w_t).T * pm_t                     # (K, n)
+        probas = jnp.matmul(oh, w_t, precision='highest').T * pm_t  # (K, n)
         logits = jnp.log(jnp.clip(probas, SMALL_EPS, None))
         g = jax.random.gumbel(t_key, (K, n), pm.dtype)
         z_t = jnp.argmax(logits + g, axis=0).astype(jnp.int32)
@@ -163,7 +166,8 @@ def latent_marginal_loglikelihood(X, init_w, trans_w, mu, sigma, lmbda):
 
     def step(carry, t):
         fwd, loglik = carry
-        f = lik[t] * (fwd @ trans_w[t])                 # sum_j w[t,j,k] fwd[i,j]
+        f = lik[t] * jnp.matmul(fwd, trans_w[t],
+                                precision='highest')    # sum_j w[t,j,k] fwd[i,j]
         c = jnp.clip(jnp.sum(f, axis=-1), SMALL_EPS, None)
         loglik = loglik + jnp.sum(jnp.log(c))
         return (f / c[:, None], loglik), None

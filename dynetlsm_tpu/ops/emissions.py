@@ -48,7 +48,9 @@ def emission_logliks_kn(X, mu, sigma, lmbda):
     loglik : (T, K, n)
     """
     T, n, d = X.shape
-    G = jnp.einsum('kd,tnd->tkn', mu, X,
+    # precision='highest': TPU default matmul precision feeds bf16 inputs,
+    # which would round mu/X (~2^-8 relative) in the emission exponent
+    G = jnp.einsum('kd,tnd->tkn', mu, X, precision='highest',
                    preferred_element_type=jnp.float32)        # (T, K, n)
     x_sq = jnp.sum(X * X, axis=-1)[:, None, :]                # (T, 1, n)
     mu_sq = jnp.sum(mu * mu, axis=-1)[None, :, None]          # (1, K, 1)
