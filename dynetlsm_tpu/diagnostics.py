@@ -28,12 +28,16 @@ def effective_n(x, maxlags=100):
     (reference trace_utils.py:39-45).
 
     Strongly anti-correlated traces can drive the denominator to (or
-    below) zero, where the estimator is meaningless; floor it so short
-    noisy traces report at most super-efficient n rather than inf/negative.
+    below) zero, where the estimator is meaningless; clamp the result to
+    (0, n] so short noisy traces report at most n independent samples
+    rather than inf/negative.
     """
     rho = autocorrelation(x, maxlags=maxlags)
     denom = 1.0 + 2.0 * np.sum(rho[1:])
-    return x.shape[0] / max(denom, 1e-8)
+    n = x.shape[0]
+    if denom <= 0.0:
+        return float(n)
+    return float(min(n / denom, n))
 
 
 def _yule_walker(x, order):

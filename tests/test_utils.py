@@ -82,6 +82,14 @@ def test_effective_n_iid(rng):
     assert effective_n(x) > 1000
 
 
+def test_effective_n_clamped_to_n(rng):
+    # strongly anti-correlated trace: 1 + 2 sum(rho) <= 0 without the clamp,
+    # which used to report astronomically inflated ESS (n / 1e-8)
+    x = np.tile([1.0, -1.0], 200) + 0.01 * rng.randn(400)
+    ess = effective_n(x)
+    assert 0 < ess <= x.shape[0]
+
+
 def test_geweke_stationary(rng):
     x = rng.randn(2000)
     z, p = geweke_diag(x)
