@@ -207,8 +207,10 @@ def _latent_mixture_loglik(X, z, mu, sigma, lmbda, resp=None):
     same values (one-hot contraction), ~5x faster at n=500, K=25.
     """
     if resp is not None:
-        sig_z = jnp.einsum('tnk,k->tn', resp, sigma)
-        mu_z = jnp.einsum('tnk,kd->tnd', resp, mu)
+        # highest precision keeps the one-hot contraction bit-identical to
+        # the gather (TPU default would truncate mu/sigma to bf16)
+        sig_z = jnp.einsum('tnk,k->tn', resp, sigma, precision='highest')
+        mu_z = jnp.einsum('tnk,kd->tnd', resp, mu, precision='highest')
     else:
         sig_z = sigma[z]                         # (T, n)
         mu_z = mu[z]                             # (T, n, d)
@@ -404,8 +406,8 @@ def _mixture_common_logp(cfg, Y, X, intercept, radii, dist, z, mu, sigma,
     # cluster means prior
     ll -= 0.5 * jnp.sum(mu * mu) / mean_var
     # cluster variances prior terms evaluated at assigned components
-    sig_z = (jnp.einsum('tnk,k->tn', resp, sigma) if resp is not None
-             else sigma[z])
+    sig_z = (jnp.einsum('tnk,k->tn', resp, sigma, precision='highest')
+             if resp is not None else sigma[z])
     ll += jnp.sum(-(0.5 * cfg.a + 1.0) * jnp.log(sig_z)
                   - 0.5 * b_scale / sig_z)
     # lambda truncated-normal prior
@@ -425,9 +427,13 @@ def _mixture_common_logp(cfg, Y, X, intercept, radii, dist, z, mu, sigma,
 
 def lpcm_logp_at_state(cfg, Y, intercept_prior, X, intercept, radii, z, mu,
                        sigma, lmbda, init_weights, trans_weights, mean_var,
-                       b_scale):
+                       b_scale, cc=None):
     """Full LPCM log joint at an arbitrary state — used for the stored
-    initial-sample logp, which the reference also records (lpcm.py:489)."""
+    initial-sample logp, which the reference also records (lpcm.py:489).
+
+    ``cc``: case-control structures; when given the network term uses the
+    same approximate estimator as the in-sweep trace logps (the reference's
+    ``logp`` switches the same way, lsm.py:581-591)."""
     K = cfg.n_components
     T = X.shape[0]
     n_trans, nk, resp = _label_statistics(z, K)
@@ -440,16 +446,19 @@ def lpcm_logp_at_state(cfg, Y, intercept_prior, X, intercept, radii, z, mu,
     logp += _count_chain_loglik(n_trans, nk, init_weights, w_stack)
     logp += _mixture_common_logp(
         cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
-        mean_var, b_scale, intercept_prior, resp=resp)
+        mean_var, b_scale, intercept_prior, cc=cc, resp=resp)
     return logp
 
 
 def hdp_logp_at_state(cfg, Y, intercept_prior, X, intercept, radii, z, mu,
                       sigma, lmbda, weights, beta, gamma, alpha_init, alpha,
-                      kappa, mean_var, b_scale):
+                      kappa, mean_var, b_scale, cc=None):
     """Full HDP-LPCM log joint at an arbitrary state — used for the stored
     initial-sample logp, which the reference also records
-    (hdp_lpcm.py:798-809)."""
+    (hdp_lpcm.py:798-809).
+
+    ``cc``: case-control structures; when given the network term uses the
+    same approximate estimator as the in-sweep trace logps."""
     K = cfg.n_components
     T = X.shape[0]
     n_trans, nk, resp = _label_statistics(z, K)
@@ -463,7 +472,7 @@ def hdp_logp_at_state(cfg, Y, intercept_prior, X, intercept, radii, z, mu,
     logp += _count_chain_loglik(n_trans, nk, w0, weights)
     logp += _mixture_common_logp(
         cfg, Y, X, intercept, radii, dist, z, mu, sigma, lmbda,
-        mean_var, b_scale, intercept_prior, resp=resp)
+        mean_var, b_scale, intercept_prior, cc=cc, resp=resp)
     return logp
 
 

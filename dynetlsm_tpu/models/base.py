@@ -111,6 +111,24 @@ def build_case_control(cfg, Y_dev, Y_host, rng, miss_mask=None):
     return cc_static, ctrl
 
 
+def init_cc_dict(cfg, Y_dev, cc_static, ctrl0):
+    """Case-control structures for the initial-sample logp, mirroring the
+    in-sweep ``_cc_structures`` so the stored ``logps_`` trace uses one
+    estimator throughout (the reference's ``logp`` also switches to the
+    case-control approximation when the sampler is active, lsm.py:581-591).
+
+    Returns None when case-control is off.
+    """
+    if cc_static is None:
+        return None
+    from ..ops.case_control import edge_lists_device
+    lists = (edge_lists_device(Y_dev, cc_static['max_deg'])
+             if cfg.sample_missing else cc_static)
+    cc = dict(lists, ctrl_in=ctrl0[0], ctrl_out=ctrl0[1])
+    cc.pop('max_deg', None)
+    return cc
+
+
 def resolve_n_control(n_control, n_nodes):
     """Integer control-set size from an int or node fraction
     (reference case_control_likelihood.py:40-43)."""

@@ -23,7 +23,7 @@ from ..ops.forecast import marginal_forecast
 from ..ops.distances import pairwise_distances
 from .base import (
     validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
-    build_case_control, resolve_n_control, resolve_fit_mesh)
+    build_case_control, init_cc_dict, resolve_n_control, resolve_fit_mesh)
 from .mixture_base import MixtureModelMixin, init_from_lsm, resolve_hyperpriors
 
 __all__ = ['DynamicNetworkHDPLPCM']
@@ -243,8 +243,12 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         mu0d, sigma0d = to_device_f32(mu0), to_device_f32(sigma0)
         w0d, beta0d = to_device_f32(weights0), to_device_f32(beta0)
 
-        # true log joint of the initial sample (reference hdp_lpcm.py:798-809;
-        # exact dense likelihood — one-time cost), one jitted program
+        # true log joint of the initial sample (reference hdp_lpcm.py:798-809),
+        # one jitted program; under case-control the network term uses the
+        # same approximate estimator as the in-sweep trace logps so the
+        # stored logps_ series is one consistent quantity
+        cc0 = init_cc_dict(cfg, Y_dev, cc_static, ctrl0)
+
         @jax.jit
         def _init_logp(Yd, Xd, bd, rd, zd, mud, sigd, wd, betad, prior):
             return hdp_logp_at_state(
@@ -255,7 +259,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
                 jnp.asarray(float(self.alpha), DTYPE),
                 jnp.asarray(float(self.kappa), DTYPE),
                 jnp.asarray(self.mean_variance_prior_, DTYPE),
-                jnp.asarray(self.b_, DTYPE))
+                jnp.asarray(self.b_, DTYPE), cc=cc0)
 
         logp0 = _init_logp(Y_dev, X0d, b0d, r0d, z0d, mu0d, sigma0d,
                            w0d, beta0d,
@@ -589,6 +593,12 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         a scalar intercept; the directed pair would not broadcast against
         the distance matrix there either).
         """
+        if self.is_directed:
+            raise ValueError(
+                'forecast_probas_pp_ supports undirected models only (the '
+                'reference implementation, hdp_lpcm.py:590-630, has no '
+                'directed path either); use forecast_probas_marginalized_ '
+                'or forecast_probas(n_samples) instead.')
         from ..ops.forecast import posterior_predictive_forecast
         seed = (self.random_state
                 if isinstance(self.random_state, (int, np.integer)) else 0)

@@ -22,7 +22,7 @@ from ..ops.distances import pairwise_distances
 from ..ops.forecast import marginal_forecast
 from .base import (
     validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
-    build_case_control, resolve_n_control, resolve_fit_mesh)
+    build_case_control, init_cc_dict, resolve_n_control, resolve_fit_mesh)
 from .mixture_base import MixtureModelMixin, init_from_lsm, resolve_hyperpriors
 
 __all__ = ['DynamicNetworkLPCM']
@@ -210,15 +210,19 @@ class DynamicNetworkLPCM(MixtureModelMixin):
         iw0d = to_device_f32(init_weights0)
         tw0d = to_device_f32(trans_weights0)
 
-        # true log joint of the initial sample (reference lpcm.py:489;
-        # exact dense likelihood — one-time cost), one jitted program
+        # true log joint of the initial sample (reference lpcm.py:489),
+        # one jitted program; under case-control the network term uses the
+        # same approximate estimator as the in-sweep trace logps so the
+        # stored logps_ series is one consistent quantity
+        cc0 = init_cc_dict(cfg, Y_dev, cc_static, ctrl0)
+
         @jax.jit
         def _init_logp(Yd, Xd, bd, rd, zd, mud, sigd, iwd, twd, prior):
             return lpcm_logp_at_state(
                 cfg, Yd, prior, Xd, bd, rd, zd, mud, sigd,
                 jnp.asarray(lmbda0, DTYPE), iwd, twd,
                 jnp.asarray(self.mean_variance_prior_, DTYPE),
-                jnp.asarray(self.b_, DTYPE))
+                jnp.asarray(self.b_, DTYPE), cc=cc0)
 
         logp0 = _init_logp(Y_dev, X0d, b0d, r0d, z0d, mu0d, sigma0d,
                            iw0d, tw0d, to_device_f32(intercept_prior))
@@ -304,8 +308,6 @@ class DynamicNetworkLPCM(MixtureModelMixin):
         self.init_weights_ = with_init('init_weights', init_weights0)
         self.trans_weights_ = with_init('trans_weights', trans_weights0)
         self.lambdas_ = with_init('lmbda', np.asarray(lmbda0))
-        # the init sample's log joint is not evaluated on device; -inf keeps
-        # it out of MAP selection when burn-in is zero
         self.logps_ = with_init('logp', np.asarray(float(logp0)))
         if self.is_directed:
             self.radiis_ = with_init('radii', radii0)

@@ -33,7 +33,7 @@ from ..ops.likelihoods import (
     undirected_network_probas, directed_network_probas)
 from .base import (
     validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
-    build_case_control, resolve_n_control, resolve_fit_mesh)
+    build_case_control, init_cc_dict, resolve_n_control, resolve_fit_mesh)
 
 __all__ = ['DynamicNetworkLSM']
 
@@ -234,11 +234,16 @@ class DynamicNetworkLSM:
         b0 = to_device_f32(intercept)
         r0 = to_device_f32(radii) if self.is_directed else None
 
-        # one jitted program (not ~15 eager dispatches) for the initial logp
+        # one jitted program (not ~15 eager dispatches) for the initial logp;
+        # under case-control it uses the same approximate network estimator
+        # as the in-sweep trace logps (the reference's logp switches the
+        # same way, lsm.py:581-591)
+        cc0 = init_cc_dict(cfg, Y_dev, cc_static, ctrl0)
+
         @jax.jit
         def _init_logp(Yd, Xd, bd, rd, prior):
             return _lsm_logp(cfg, Yd, Xd, bd, rd, pairwise_distances(Xd),
-                             prior)
+                             prior, cc=cc0)
 
         logp0 = _init_logp(Y_dev, X0, b0, r0,
                            to_device_f32(intercept_prior))

@@ -219,6 +219,46 @@ def test_lsm_fit_undirected_case_control(rng):
     assert model.auc_ > 0.5
 
 
+def test_init_logp_uses_cc_estimator(rng):
+    """The stored initial-sample logp must use the same (case-control)
+    network estimator as the in-sweep trace logps — one consistent series
+    for MAP selection (the reference's logp also switches to the CC
+    approximation when the sampler is active, lsm.py:581-591)."""
+    from dynetlsm_tpu.models.base import init_cc_dict
+    from dynetlsm_tpu.mcmc.sweeps import (
+        SweepConfig, _lsm_logp, _network_loglik)
+
+    T, n, m = 2, 20, 6
+    Y = np.zeros((T, n, n))
+    for t in range(T):
+        upper = rng.uniform(size=(n, n)) < 0.3
+        upper = np.triu(upper, k=1)
+        Y[t] = upper + upper.T
+    Yd = jnp.asarray(Y, jnp.float32)
+    X = jnp.asarray(rng.randn(T, n, 2), jnp.float32)
+    b = jnp.asarray([0.5], jnp.float32)
+
+    cfg = SweepConfig(is_directed=False, sample_missing=False, tune=0,
+                      tune_interval=100, n_burn=0,
+                      intercept_variance_prior=2.0,
+                      n_control=m, n_resample_control=10)
+    lists = build_edge_lists(Y)
+    cc_static = {k: jnp.asarray(v) for k, v in lists.items()}
+    ctrl0 = sample_control_nodes(jax.random.PRNGKey(0), Yd, m,
+                                 directed=False)
+    cc0 = init_cc_dict(cfg, Yd, cc_static, ctrl0)
+
+    dist = pairwise_distances(X)
+    prior = jnp.zeros(1, jnp.float32)
+    with_cc = float(_lsm_logp(cfg, Yd, X, b, None, dist, prior, cc=cc0))
+    dense = float(_lsm_logp(cfg, Yd, X, b, None, dist, prior))
+    # the network term really is the CC estimator, not the dense loglik
+    net_cc = float(_network_loglik(cfg, Yd, dist, b, None, X=X, cc=cc0))
+    net_dense = float(_network_loglik(cfg, Yd, dist, b, None))
+    assert with_cc != dense
+    assert np.isclose(with_cc - net_cc, dense - net_dense, atol=1e-4)
+
+
 def test_lsm_fit_case_control_with_missing(rng):
     """Case-control + Gibbs-resampled missing dyads (the round-1
     NotImplementedError): edge lists are rebuilt in-device each sweep."""

@@ -136,6 +136,14 @@ def test_hdp_forecast_marginalized(community_net):
     assert np.corrcoef(fp[off], fpp[off])[0, 1] > 0.5
 
 
+def test_forecast_pp_rejects_directed():
+    # the posterior-predictive forecaster is undirected-only (like the
+    # reference); a directed fit must fail loudly, not silently drop radii
+    model = DynamicNetworkHDPLPCM(is_directed=True)
+    with pytest.raises(ValueError, match='undirected'):
+        model.forecast_probas_pp_
+
+
 def test_lpcm_thinning(community_net):
     Y, _ = community_net
     model = DynamicNetworkLPCM(n_iter=100, tune=50, burn=50, thin=2,
