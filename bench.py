@@ -13,7 +13,9 @@ Baseline (BASELINE.md): the reference's single-core Cython sampler runs
 
 ``BENCH_MODE`` selects one mode or ``all`` (default).  Every measurement is
 printed as its own JSON line as it completes; the FINAL line is the
-headline (north-star) with the other results under ``"extra"``.
+headline (Sampson aggregate, the reference's own benchmark config) with the
+north-star, north-star ESS, directed, and Sampson ESS results under
+``"extra"``.
 """
 import json
 import os
