@@ -12,32 +12,53 @@ import numpy as np
 
 from sklearn.preprocessing import LabelEncoder
 
-__all__ = ['load_monks', 'load_got', 'load_got_edgelists',
+__all__ = ['load_monks', 'load_dynamic_monks', 'load_static_monks',
+           'load_got', 'load_got_edgelists',
            'network_from_edgelist', 'load_alliances']
 
 RAW = os.path.join(os.path.dirname(__file__), 'raw_data')
 
 
-def load_monks(dynamic=True, is_directed=True, include_waverers=False,
-               encode_labels=True):
-    """Sampson's monastery network (1968): T=3, n=18 liking networks plus
-    faction labels and monk names (reference load_monks.py:11-71)."""
+def _monk_groups(include_waverers, encode_labels):
     group_file = ('sampson_groups_waverers.txt' if include_waverers
                   else 'sampson_groups.txt')
     with open(os.path.join(RAW, group_file)) as f:
         groups = np.array([line.rstrip('\n') for line in f])
     if encode_labels:
         groups = LabelEncoder().fit_transform(groups)
+    return groups
 
+
+def load_monks(dynamic=True, is_directed=True, include_waverers=False,
+               encode_labels=True):
+    """Sampson's monastery network (1968): T=3, n=18 liking networks plus
+    faction labels and monk names (reference load_monks.py:11-19)."""
     if dynamic:
-        Y = np.stack([np.loadtxt(os.path.join(RAW, 'sampson_%d.npy' % t))
-                      for t in range(3)]).astype(np.float64)
-        with open(os.path.join(RAW, 'sampson_names.txt')) as f:
-            names = np.array([line.rstrip('\n') for line in f])
-        if not is_directed:
-            Y = ((Y + Y.transpose(0, 2, 1)) > 0).astype(np.float64)
-        return Y, np.repeat(groups[None], 3, axis=0), names
+        return load_dynamic_monks(encode_labels, include_waverers,
+                                  is_directed=is_directed)
+    return load_static_monks(encode_labels, include_waverers,
+                             is_directed=is_directed)
 
+
+def load_dynamic_monks(encode_labels=True, include_waverers=False,
+                       is_directed=True):
+    """The three-wave (T=3, n=18) monastery networks, per-wave faction
+    labels, and monk names (reference load_monks.py:22-49)."""
+    groups = _monk_groups(include_waverers, encode_labels)
+    Y = np.stack([np.loadtxt(os.path.join(RAW, 'sampson_%d.npy' % t))
+                  for t in range(3)]).astype(np.float64)
+    with open(os.path.join(RAW, 'sampson_names.txt')) as f:
+        names = np.array([line.rstrip('\n') for line in f])
+    if not is_directed:
+        Y = ((Y + Y.transpose(0, 2, 1)) > 0).astype(np.float64)
+    return Y, np.repeat(groups[None], 3, axis=0), names
+
+
+def load_static_monks(encode_labels=True, include_waverers=False,
+                      is_directed=True):
+    """The aggregated single-wave (n=18) monastery network and faction
+    labels (reference load_monks.py:52-71)."""
+    groups = _monk_groups(include_waverers, encode_labels)
     Y = np.loadtxt(os.path.join(RAW, 'sampson.npy')).astype(np.float64)
     if not is_directed:
         Y = ((Y + Y.T) > 0).astype(np.float64)

@@ -10,6 +10,34 @@ import scipy.stats as stats
 from math import floor, ceil
 
 
+def mean_detrend(x):
+    """(reference trace_utils.py:9-10)"""
+    return x - np.mean(x)
+
+
+def xcorr(x, y, normed=True, detrend=mean_detrend, maxlags=10):
+    """Cross-correlation at lags -maxlags..maxlags
+    (reference trace_utils.py:13-36).  Returns (lags, correls)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = x.shape[0]
+    if n != y.shape[0]:
+        raise ValueError('x and y must be equal length')
+    x = detrend(x)
+    y = detrend(y)
+    correls = np.correlate(x, y, mode='full')
+    if normed:
+        denom = np.sqrt(np.dot(x, x) * np.dot(y, y))
+        if denom > 0:
+            correls = correls / denom
+    if maxlags is None:
+        maxlags = n - 1
+    if maxlags >= n or maxlags < 1:
+        raise ValueError('maxlags must be None or strictly positive < %d' % n)
+    lags = np.arange(-maxlags, maxlags + 1)
+    return lags, correls[n - 1 - maxlags:n + maxlags]
+
+
 def autocorrelation(x, maxlags=100):
     """Normalised autocorrelation at lags 0..maxlags."""
     x = np.asarray(x, dtype=np.float64)
@@ -60,6 +88,18 @@ def _yule_walker(x, order):
     return coefs, np.sqrt(max(sigma_sq, 0.0))
 
 
+def aic_ar(sigma, n, p):
+    """AIC of an AR(p) fit with innovation std ``sigma`` on a demeaned
+    series of ``n`` samples (reference trace_utils.py:48-52)."""
+    return 2 * n * np.log(sigma) + 2 * (p + 1)
+
+
+def spec0_ar(sigma, coefs):
+    """Spectral density at frequency zero of an AR process
+    (reference trace_utils.py:55-56)."""
+    return (sigma ** 2) / ((1 - np.sum(coefs)) ** 2)
+
+
 def spectrum0_ar(x, max_order='auto'):
     """f(0) of the spectral density via the AIC-best AR fit
     (reference trace_utils.py:59-79)."""
@@ -75,8 +115,8 @@ def spectrum0_ar(x, max_order='auto'):
         coefs, sigma = _yule_walker(x, p)
         if sigma <= 0:
             continue
-        aic = 2 * n * np.log(sigma) + 2 * (p + 1)
-        var0 = sigma ** 2 / (1.0 - np.sum(coefs)) ** 2
+        aic = aic_ar(sigma, n, p)
+        var0 = spec0_ar(sigma, coefs)
         if best is None or aic < best[0]:
             best = (aic, var0, p)
     if best is None:

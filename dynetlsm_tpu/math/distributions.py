@@ -194,3 +194,33 @@ def multivariate_t_logpdf(x, df, mu0, S):
 
 def multivariate_t_pdf(x, df, mu0, S):
     return jnp.exp(multivariate_t_logpdf(x, df, mu0, S))
+
+
+# alias matching the reference spelling (reference distributions.py:42)
+multivariate_t_log_pdf = multivariate_t_logpdf
+
+
+# ---------------------------------------------------------------------------
+# spherical normal / categorical (reference distributions.py:13-39)
+# ---------------------------------------------------------------------------
+
+def spherical_normal_log_pdf(x, mean, var):
+    """Log pdf of a spherical multivariate Gaussian over the trailing axis
+    (reference distributions.py:22-28), batched over leading axes."""
+    mean = jnp.atleast_1d(jnp.asarray(mean))
+    p = mean.shape[-1]
+    sum_sq = jnp.sum((x - mean) ** 2, axis=-1)
+    return -0.5 * p * jnp.log(2.0 * jnp.pi * var) - 0.5 * sum_sq / var
+
+
+def spherical_normal_pdf(x, mean, var):
+    """(reference distributions.py:31-39)"""
+    return jnp.exp(spherical_normal_log_pdf(x, mean, var))
+
+
+def sample_categorical(key, probas, axis=-1):
+    """Categorical(probas) draw along ``axis`` (reference
+    distributions.py:13-19 samples one index host-side from a cdf walk;
+    here a Gumbel-argmax over log-probabilities, batched and jittable)."""
+    logits = jnp.log(jnp.clip(probas, _TINY, None))
+    return sample_categorical_logits(key, logits, axis=axis)

@@ -178,3 +178,43 @@ def directed_intercept_mle(Y, X, radii, intercept_init=None, tol=1e-4):
               if intercept_init is not None else np.zeros(2))
         res = minimize(fun, x0=x0, jac=True, method='BFGS', tol=tol)
     return float(res.x[0]), float(res.x[1])
+
+
+# ---------------------------------------------------------------------------
+# public gradient / distance helpers (reference latent_space.py:19-33,
+# lsm.py:32-44) — autodiff on the jitted likelihood instead of hand-written
+# gradient formulas
+# ---------------------------------------------------------------------------
+
+def calculate_distances(X, squared=False):
+    """Pairwise latent distances, static (n, d) or longitudinal (T, n, d)
+    (reference latent_space.py:19-33)."""
+    return np.asarray(pairwise_distances(jnp.asarray(X), squared=squared))
+
+
+def undirected_intercept_grad(Y, X, intercept, squared=False, dist=None):
+    """d loglik / d intercept (reference lsm.py:32-36)."""
+    if dist is None:
+        dist = pairwise_distances(jnp.asarray(X, jnp.float32),
+                                  squared=squared)
+    g = jax.grad(lambda b: undirected_loglik_full(
+        jnp.asarray(Y, jnp.float32), dist, b))(jnp.asarray(intercept,
+                                                           jnp.float32))
+    return float(g)
+
+
+def scale_grad(Y, X, intercept, scale, squared=False, dist=None):
+    """d loglik / d log-scale of the latent positions (reference
+    lsm.py:39-44; the reference parameterises the scale as exp(scale)).
+
+    The reference sums this gradient over the full off-diagonal matrix
+    (both triangles, no 1/2 — unlike its intercept gradient); the factor
+    2 below reproduces that convention from the i<j autodiff value.
+    """
+    if dist is None:
+        dist = pairwise_distances(jnp.asarray(X, jnp.float32),
+                                  squared=squared)
+    g = jax.grad(lambda s: undirected_loglik_full(
+        jnp.asarray(Y, jnp.float32), jnp.exp(s) * dist,
+        jnp.asarray(intercept, jnp.float32)))(jnp.asarray(scale, jnp.float32))
+    return 2.0 * float(g)

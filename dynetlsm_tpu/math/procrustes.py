@@ -52,3 +52,12 @@ def longitudinal_procrustes_transform(Xs, means=None):
         return rotated, None
     return rotated, jnp.einsum('skd,sde->ske', means, Rs,
                                precision='highest')
+
+
+def flatten_array(X):
+    """(..., n, d) -> (prod(...)*n, d) (reference procrustes.py:6-9)."""
+    return jnp.reshape(X, (-1, X.shape[-1]))
+
+
+# alias matching the reference name (reference procrustes.py:12-27)
+compute_procrustes_rotation = procrustes_rotation

@@ -174,3 +174,11 @@ def latent_marginal_loglikelihood(X, init_w, trans_w, mu, sigma, lmbda):
 
     (_, loglik), _ = jax.lax.scan(step, (fwd, loglik), jnp.arange(1, T))
     return loglik
+
+
+def log_normalize(log_probas, axis=-1):
+    """Probabilities from unnormalised log-probabilities, batched
+    (reference sample_labels.py:8-13 — in-place, host-side there)."""
+    x = log_probas - jnp.max(log_probas, axis=axis, keepdims=True)
+    x = jnp.exp(x)
+    return x / jnp.sum(x, axis=axis, keepdims=True)

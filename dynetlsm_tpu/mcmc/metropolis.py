@@ -84,3 +84,82 @@ def dirichlet_metropolis_step(key, x0, logp_fn, step_size, logp_cur=None):
     x_new = jnp.where(accept, x, x0)
     logp_new = jnp.where(accept, logp_prop, logp_cur)
     return x_new, accept.astype(x0.dtype), logp_new
+
+
+def random_walk_metropolis(key, x0, logp_fn, step_size):
+    """One symmetric Gaussian random-walk MH step (reference
+    metropolis.py:40-55), jittable.
+
+    Returns (x_new, accepted: float scalar, accept_ratio).
+    """
+    k_prop, k_acc = jax.random.split(key)
+    x = x0 + step_size * jax.random.normal(k_prop, jnp.shape(x0),
+                                           jnp.result_type(x0))
+    ratio = logp_fn(x) - logp_fn(x0)
+    accept = random_walk_accept(k_acc, ratio)
+    x_new = jnp.where(accept, x, x0)
+    return x_new, accept.astype(jnp.result_type(x0)), ratio
+
+
+def dirichlet_metropolis(key, x0, logp_fn, step_size):
+    """One scaled-Dirichlet MH step with proposal-asymmetry correction
+    (reference metropolis.py:57-82), jittable.
+
+    Returns (x_new, accepted: float scalar, accept_ratio) — the reference's
+    return convention; :func:`dirichlet_metropolis_step` additionally
+    threads the cached log density for in-sweep reuse.
+    """
+    k_prop, k_acc = jax.random.split(key)
+    x = sample_dirichlet(k_prop, step_size * x0)
+    ratio = logp_fn(x) - logp_fn(x0)
+    ratio += (dirichlet_logpdf(x0, step_size * x)
+              - dirichlet_logpdf(x, step_size * x0))
+    accept = random_walk_accept(k_acc, ratio)
+    x_new = jnp.where(accept, x, x0)
+    return x_new, accept.astype(jnp.result_type(x0)), ratio
+
+
+class Metropolis:
+    """Self-tuning MH driver for a user-supplied log density
+    (reference metropolis.py:85-136).
+
+    The in-sweep samplers adapt step sizes as state arrays; this class is
+    the standalone host-side equivalent for ad-hoc targets: it carries the
+    PRNG key, acceptance counters, and the same piecewise tuning schedule.
+    """
+
+    def __init__(self, step_size=0.1, tune=500, tune_interval=100,
+                 proposal_type='random_walk', seed=0):
+        if proposal_type not in ('random_walk', 'dirichlet'):
+            raise ValueError("`proposal_type` must be in "
+                             "{'random_walk', 'dirichlet'}, but got "
+                             "%r" % (proposal_type,))
+        self.step_size = step_size
+        self.tune = tune
+        self.tune_interval = tune_interval
+        self.proposal_type = proposal_type
+        self.n_accepted = 0
+        self.n_steps = 0
+        self.key = jax.random.PRNGKey(seed)
+
+    def step(self, x, logp):
+        self.key, sub = jax.random.split(self.key)
+        fn = (dirichlet_metropolis if self.proposal_type == 'dirichlet'
+              else random_walk_metropolis)
+        x_new, accepted, _ = fn(sub, jnp.asarray(x), logp, self.step_size)
+        self.n_accepted += float(accepted)
+        self.n_steps += 1
+        if self.tune:
+            self.tune_step_size()
+        return x_new
+
+    def tune_step_size(self):
+        if (self.n_steps < self.tune
+                and self.n_steps % self.tune_interval == 0):
+            rate = self.n_accepted / self.tune_interval
+            tune_fn = (tune_step_size_dirichlet
+                       if self.proposal_type == 'dirichlet'
+                       else tune_step_size_random_walk)
+            self.step_size = float(tune_fn(jnp.asarray(self.step_size),
+                                           jnp.asarray(rate)))
+            self.n_accepted = 0

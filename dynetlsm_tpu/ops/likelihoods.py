@@ -218,3 +218,16 @@ def dynamic_network_loglikelihood_directed(Y, X, intercept_in, intercept_out,
     if dist is None:
         dist = pairwise_distances(X, squared=squared)
     return directed_loglik_full(Y, dist, radii, intercept_in, intercept_out)
+
+
+def dynamic_network_loglikelihood(Y, X, intercept, radii=None, squared=False,
+                                  dist=None):
+    """Directed/undirected dispatch on the presence of ``radii``
+    (reference network_likelihoods.py:16-23)."""
+    if radii is not None:
+        intercept = jnp.atleast_1d(jnp.asarray(intercept))
+        return dynamic_network_loglikelihood_directed(
+            Y, X, intercept[..., 0], intercept[..., 1], radii,
+            squared=squared, dist=dist)
+    return dynamic_network_loglikelihood_undirected(
+        Y, X, intercept, squared=squared, dist=dist)

@@ -35,6 +35,9 @@ __all__ = ['plot_network_pyvis',
            'normal_contour',
            'get_colors',
            'get_husl',
+           'get_color20',
+           'cmap_to_hex',
+           'flatten',
            'arrow_patch']
 
 
@@ -42,11 +45,25 @@ __all__ = ['plot_network_pyvis',
 # palette helpers
 # ---------------------------------------------------------------------------
 
-def _tab20_hex():
-    colors = np.asarray([to_hex(c) for c in plt.get_cmap('tab20').colors])
-    # swap the low-contrast first pair (reference plots.py:52-60)
+def flatten(nested):
+    """One-level list flatten (reference plots.py:44-45)."""
+    return [item for sublist in nested for item in sublist]
+
+
+def cmap_to_hex(cmap):
+    """Hex strings for a listed colormap's colors (reference plots.py:48-49)."""
+    return np.asarray([to_hex(c) for c in cmap.colors])
+
+
+def get_color20():
+    """The tab20 hex palette with the low-contrast first pair swapped
+    (reference plots.py:52-60)."""
+    colors = cmap_to_hex(plt.get_cmap('tab20'))
     colors[1], colors[2] = colors[2], colors[1]
     return colors
+
+
+_tab20_hex = get_color20
 
 
 def get_husl(n_groups):
