@@ -7,7 +7,22 @@ posterior samples in Python (posterior_vi.py:63-66); here the VI of every
 import numpy as np
 
 __all__ = ['posterior_expected_vi', 'time_averaged_posterior_expected_vi',
-           'minimize_posterior_expected_vi', 'batched_posterior_expected_vi']
+           'minimize_posterior_expected_vi', 'batched_posterior_expected_vi',
+           'nonvectorized_posterior_expected_vi']
+
+
+def nonvectorized_posterior_expected_vi(labels, cooccurrence_proba):
+    """Per-node-loop expected VI kept as the testing oracle for the
+    vectorised implementations (the reference keeps the same function for
+    the same reason, posterior_vi.py:10-20)."""
+    vi = 0.0
+    n = labels.shape[0]
+    for i in range(n):
+        same = labels == labels[i]
+        vi += np.log2(np.sum(same))
+        vi -= 2 * np.log2(np.sum(same * cooccurrence_proba[i, :]))
+        vi += np.log2(np.sum(cooccurrence_proba[i, :]))
+    return vi / n
 
 
 def posterior_expected_vi(labels, cooccurrence_proba):

@@ -209,3 +209,34 @@ def test_plot_palette_helpers():
     # the low-contrast first pair is swapped
     raw = cmap_to_hex(plt.get_cmap('tab20'))
     assert colors[1] == raw[2] and colors[2] == raw[1]
+
+
+def test_posterior_vi_oracle_parity():
+    # reference posterior_vi.py:10-20 keeps the per-node loop as the test
+    # oracle; all three vectorised variants must agree with it
+    from dynetlsm_tpu.model_selection import (
+        nonvectorized_posterior_expected_vi, posterior_expected_vi,
+        time_averaged_posterior_expected_vi, batched_posterior_expected_vi)
+    rng = np.random.RandomState(5)
+    S, T, n, K = 4, 3, 30, 5
+    zs = rng.randint(0, K, size=(S, T, n))
+    # a valid co-occurrence probability field in (0, 1]
+    C = np.clip(rng.uniform(size=(T, n, n)), 0.05, None)
+    C = 0.5 * (C + C.transpose(0, 2, 1))
+    for t in range(T):
+        np.fill_diagonal(C[t], 1.0)
+
+    for s in range(S):
+        for t in range(T):
+            want = nonvectorized_posterior_expected_vi(zs[s, t], C[t])
+            got = posterior_expected_vi(zs[s, t], C[t])
+            assert np.isclose(got, want, rtol=1e-6), (s, t)
+        want_t = time_averaged_posterior_expected_vi(zs[s], C)
+        assert np.isclose(want_t,
+                          np.mean([nonvectorized_posterior_expected_vi(
+                              zs[s, t], C[t]) for t in range(T)]), rtol=1e-6)
+
+    batched = batched_posterior_expected_vi(zs, C)
+    want_all = [time_averaged_posterior_expected_vi(zs[s], C)
+                for s in range(S)]
+    assert np.allclose(batched, want_all, rtol=1e-4)
