@@ -30,10 +30,12 @@ from dynetlsm_tpu.datasets import homogeneous_simulation
 from dynetlsm_tpu.metrics import variation_of_information, out_of_sample_auc
 from dynetlsm_tpu.model_selection import train_test_split
 
-N_REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-N_ITER = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
-MODEL_TYPE = sys.argv[3] if len(sys.argv) > 3 else 'hdp_lpcm'
-SIM_TYPE = sys.argv[4] if len(sys.argv) > 4 else 'hard'
+# argv is parsed under __main__ only, so the replicate entry point stays
+# importable (e.g. by the smoke tests)
+N_REPS = 10
+N_ITER = 10_000
+MODEL_TYPE = 'hdp_lpcm'
+SIM_TYPE = 'hard'
 OUT_DIR = 'results'
 
 STAT_NAMES = ['insample_auc', 'outsample_auc', 'onestep_auc', 'vi',
@@ -122,12 +124,16 @@ def benchmark_single(n_iter=10_000, burn=2_500, tune=2_500,
 
 
 def main():
+    n_reps = int(sys.argv[1]) if len(sys.argv) > 1 else N_REPS
+    n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else N_ITER
+    model_type = sys.argv[3] if len(sys.argv) > 3 else MODEL_TYPE
+    sim_type = sys.argv[4] if len(sys.argv) > 4 else SIM_TYPE
     os.makedirs(OUT_DIR, exist_ok=True)
-    for i in range(N_REPS):
+    for i in range(n_reps):
         out = os.path.join(OUT_DIR, 'benchmark_%d.csv' % i)
         res = benchmark_single(
-            n_iter=N_ITER, burn=N_ITER // 4, tune=N_ITER // 4,
-            random_state=i, model_type=MODEL_TYPE, sim_type=SIM_TYPE,
+            n_iter=n_iter, burn=n_iter // 4, tune=n_iter // 4,
+            random_state=i, model_type=model_type, sim_type=sim_type,
             outfile_name=out)
         print('rep %d:' % i,
               ' '.join('%s=%.3f' % (s, res[s].iloc[0]) for s in STAT_NAMES))
@@ -136,9 +142,9 @@ def main():
     # (reference examples/homogeneous_simulation.py:186-205)
     data = np.array([
         pd.read_csv(os.path.join(OUT_DIR, 'benchmark_%d.csv' % i))
-        [STAT_NAMES].iloc[0].to_numpy() for i in range(N_REPS)])
+        [STAT_NAMES].iloc[0].to_numpy() for i in range(n_reps)])
     med = np.median(data, axis=0)
-    print('\nmedian over %d replicates:' % N_REPS)
+    print('\nmedian over %d replicates:' % n_reps)
     for name, val in zip(STAT_NAMES, med):
         print('  %-14s %.4f' % (name, val))
 

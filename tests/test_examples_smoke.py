@@ -1,0 +1,58 @@
+"""Smoke tests for the simulation-study harnesses in examples/.
+
+The reference establishes correctness-in-practice through these studies
+(SURVEY.md §4); a tiny-budget replicate must keep producing the full
+reference metric-column set (reference examples/homogeneous_simulation.py:
+139-184) so the scripts cannot bit-rot.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), os.pardir, 'examples')
+
+
+@pytest.mark.slow
+def test_homogeneous_simulation_single_replicate(tmp_path):
+    sys.path.insert(0, EXAMPLES)
+    try:
+        from homogeneous_simulation import benchmark_single, STAT_NAMES
+    finally:
+        sys.path.remove(EXAMPLES)
+
+    out = str(tmp_path / 'benchmark_0.csv')
+    res = benchmark_single(n_iter=60, burn=15, tune=15, outfile_name=out,
+                           model_type='hdp_lpcm', random_state=0)
+    # the reference study's metric columns, all present and sane even at a
+    # smoke budget
+    for name in STAT_NAMES:
+        assert name in res.columns, name
+    row = res.iloc[0]
+    assert 0.5 < row['insample_auc'] <= 1.0
+    assert 0.5 < row['outsample_auc'] <= 1.0
+    assert 0.5 < row['onestep_auc'] <= 1.0
+    assert row['vi'] >= 0.0
+    assert -1.0 <= row['rand_index'] <= 1.0
+    assert os.path.exists(out)
+
+
+def test_simulation_scripts_importable():
+    # the replicate entry points exist with the expected signatures (the
+    # scripts guard execution behind __main__, so importing is side-effect
+    # free)
+    sys.path.insert(0, EXAMPLES)
+    try:
+        import homogeneous_simulation as hom
+        import inhomogeneous_simulation as inhom
+        import detection_limit as det
+    finally:
+        sys.path.remove(EXAMPLES)
+    assert callable(hom.benchmark_single)
+    assert callable(inhom.benchmark_single)
+    assert hasattr(det, '__file__')
+    # the generators the studies depend on produce the fit/forecast split
+    from dynetlsm_tpu.datasets import homogeneous_simulation as gen
+    Y = gen(n_time_steps=3, n_nodes=30, random_state=1)[0]
+    assert Y.shape == (3, 30, 30)
