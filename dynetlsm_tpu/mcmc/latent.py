@@ -164,6 +164,96 @@ def _parallel_site_update(key, Y, X, intercept, step_size, radii, tau_sq,
     return X_new, accept.astype(X.dtype)
 
 
+def _joint_latent_logp(Y, X, intercept, radii, tau_sq, sigma_sq,
+                       mu, sigma, lmbda, z, is_directed, mixture):
+    """Joint log density of the full position field (network likelihood +
+    temporal prior), differentiable in X — the MALA target.
+
+    Unlike the per-site conditionals above, the joint prior contains each
+    temporal transition exactly once (no forward terms).  The diagonal of
+    the squared-distance matrix is replaced by 1 before the sqrt so the
+    gradient stays finite at the (masked-out) zero self-distances.
+    """
+    T, n, d = X.shape
+    mask = (1.0 - jnp.eye(n, dtype=X.dtype))[None]            # (1, n, n)
+    diff = X[:, :, None, :] - X[:, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    # the 1e-12 floor keeps the sqrt gradient finite for coincident node
+    # pairs (distances below 1e-6 are indistinguishable in the likelihood)
+    dist = jnp.sqrt(jnp.where(mask > 0, jnp.maximum(d2, 1e-12), 1.0))
+    if is_directed:
+        r_i = radii[None, :, None]
+        r_j = radii[None, None, :]
+        eta = (intercept[0] * (1.0 - dist / r_j)
+               + intercept[1] * (1.0 - dist / r_i))
+        ll = jnp.sum((Y * eta - jax.nn.softplus(eta)) * mask)
+    else:
+        eta = intercept[0] - dist
+        ll = 0.5 * jnp.sum((Y * eta - jax.nn.softplus(eta)) * mask)
+
+    if mixture:
+        mu_z = mu[z]                                          # (T, n, d)
+        sig_z = sigma[z]                                      # (T, n)
+        diff0 = X[0] - mu_z[0]
+        prior = -0.5 * jnp.sum(jnp.sum(diff0 * diff0, -1) / sig_z[0])
+        if T > 1:
+            dft = X[1:] - (1.0 - lmbda) * X[:-1] - lmbda * mu_z[1:]
+            prior -= 0.5 * jnp.sum(jnp.sum(dft * dft, -1) / sig_z[1:])
+    else:
+        prior = -0.5 * jnp.sum(X[0] * X[0]) / tau_sq
+        if T > 1:
+            dft = X[1:] - X[:-1]
+            prior -= 0.5 * jnp.sum(dft * dft) / sigma_sq
+    return ll + prior
+
+
+def _mala_update(key, Y, X, intercept, step_size, radii, tau_sq, sigma_sq,
+                 mu, sigma, lmbda, z, is_directed, mixture):
+    """One joint Metropolis-adjusted Langevin step on the whole position
+    field.
+
+    Beyond-reference capability (the reference is random-walk-only): the
+    proposal drifts along the gradient of the joint log density, so one
+    accepted move updates every (t, node) coherently — at scale (n >= a few
+    hundred) this cuts the integrated autocorrelation time relative to
+    single-site random walks.  Cost: two value_and_grad evaluations of the
+    dense joint density per sweep (one fused O(T n^2 d) pass each), versus
+    2n sequential steps for the exact scan.
+
+    ``step_size`` is the (T, n) per-site scale array used as a fixed
+    diagonal preconditioner; the proposal and its reversal use the same
+    scales, and the MH correction accounts for the drift exactly, so the
+    sampled posterior is unchanged.  Acceptance is a single indicator,
+    broadcast to (T, n) so the existing accumulation/tuning machinery
+    applies (tuned with the 'mala' schedule toward ~0.45-0.70).
+    """
+    T, n, d = X.shape
+    vg = jax.value_and_grad(
+        lambda Xq: _joint_latent_logp(Y, Xq, intercept, radii, tau_sq,
+                                      sigma_sq, mu, sigma, lmbda, z,
+                                      is_directed, mixture))
+    k_eps, k_u = jax.random.split(key)
+    s = step_size[..., None]                                  # (T, n, 1)
+    s2 = s * s
+
+    logp_cur, g_cur = vg(X)
+    mean_fwd = X + 0.5 * s2 * g_cur
+    eps = jax.random.normal(k_eps, (T, n, d), X.dtype)
+    X_prop = mean_fwd + s * eps
+    logp_prop, g_prop = vg(X_prop)
+    mean_rev = X_prop + 0.5 * s2 * g_prop
+
+    # log q(X | X') - log q(X' | X); the normalisation cancels (same scales)
+    log_q_rev = -0.5 * jnp.sum((X - mean_rev) ** 2 / s2)
+    log_q_fwd = -0.5 * jnp.sum((X_prop - mean_fwd) ** 2 / s2)
+    ratio = logp_prop - logp_cur + log_q_rev - log_q_fwd
+
+    log_u = jnp.log(jax.random.uniform(k_u, (), X.dtype))
+    accept = log_u < ratio
+    X_new = jnp.where(accept, X_prop, X)
+    return X_new, jnp.full((T, n), accept.astype(X.dtype))
+
+
 @partial(jax.jit, static_argnames=('is_directed', 'mixture', 'scheme'))
 def sample_latent_positions(key, Y, X, intercept, step_size, *,
                             radii=None, tau_sq=None, sigma_sq=None,
@@ -192,6 +282,10 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     X_new : (T, n, d)
     n_accepted : (T, n) float acceptance indicators for this sweep
     """
+    if scheme not in ('exact', 'parallel', 'mala'):
+        raise ValueError(
+            "latent_update must be 'exact', 'parallel', or 'mala', got %r"
+            % (scheme,))
     if scheme == 'parallel':
         if noise is not None:
             raise ValueError(
@@ -200,6 +294,19 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
         return _parallel_site_update(key, Y, X, intercept, step_size, radii,
                                      tau_sq, sigma_sq, mu, sigma, lmbda, z,
                                      is_directed, mixture, cc=cc)
+    if scheme == 'mala':
+        if cc is not None:
+            raise ValueError(
+                "latent_update='mala' differentiates the dense joint "
+                "likelihood; under case-control sampling use 'exact' or "
+                "'parallel'")
+        if noise is not None:
+            raise ValueError(
+                "scheme='mala' draws its own proposal noise; an injected "
+                "exact-scan noise stream cannot be honoured")
+        return _mala_update(key, Y, X, intercept, step_size, radii,
+                            tau_sq, sigma_sq, mu, sigma, lmbda, z,
+                            is_directed, mixture)
 
     T, n, d = X.shape
     if noise is None:

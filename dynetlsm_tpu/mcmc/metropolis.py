@@ -35,6 +35,18 @@ def tune_step_size_dirichlet(step_size, acc_rate):
     return step_size * factor
 
 
+def tune_step_size_mala(step_size, acc_rate):
+    """Step-size adaptation for the joint MALA move, targeting the ~0.45-0.70
+    acceptance band around the 0.574 Langevin optimum (Roberts & Rosenthal
+    1998) — same piecewise style as the random-walk schedule."""
+    conds = [acc_rate < 0.001, acc_rate < 0.20, acc_rate < 0.45,
+             acc_rate > 0.95, acc_rate > 0.70]
+    factors = [0.1, 0.5, 0.9, 2.0, 1.1]
+    factor = jnp.select(conds, [jnp.full_like(acc_rate, f) for f in factors],
+                        jnp.ones_like(acc_rate))
+    return step_size * factor
+
+
 def maybe_tune(it, tune, tune_interval, step_size, n_accepted, kind='random_walk'):
     """Adapt ``step_size`` from accumulated acceptance counts when the tuning
     window closes; otherwise pass through.
@@ -47,8 +59,9 @@ def maybe_tune(it, tune, tune_interval, step_size, n_accepted, kind='random_walk
     """
     if tune is None or tune == 0:
         return step_size, n_accepted
-    tune_fn = (tune_step_size_dirichlet if kind == 'dirichlet'
-               else tune_step_size_random_walk)
+    tune_fn = {'dirichlet': tune_step_size_dirichlet,
+               'mala': tune_step_size_mala}.get(
+                   kind, tune_step_size_random_walk)
     do_tune = jnp.logical_and(it < tune, (it + 1) % tune_interval == 0)
     rate = n_accepted / tune_interval
     new_step = jnp.where(do_tune, tune_fn(step_size, rate), step_size)

@@ -360,7 +360,9 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
 
         # step-size adaptation
         step_X, acc_X = maybe_tune(state.it, cfg.tune, cfg.tune_interval,
-                                   state.step_X, acc_X)
+                                   state.step_X, acc_X,
+                                   kind=('mala' if cfg.latent_update == 'mala'
+                                         else 'random_walk'))
         step_int, acc_int = maybe_tune(state.it, cfg.tune, cfg.tune_interval,
                                        state.step_int, acc_int)
         if cfg.is_directed and cfg.tune_radii:
@@ -478,7 +480,9 @@ def hdp_logp_at_state(cfg, Y, intercept_prior, X, intercept, radii, z, mu,
 
 def _finish_tuning(cfg, state, acc_X, acc_int, acc_radii):
     step_X, acc_X = maybe_tune(state.it, cfg.tune, cfg.tune_interval,
-                               state.step_X, acc_X)
+                               state.step_X, acc_X,
+                               kind=('mala' if cfg.latent_update == 'mala'
+                                     else 'random_walk'))
     step_int, acc_int = maybe_tune(state.it, cfg.tune, cfg.tune_interval,
                                    state.step_int, acc_int)
     if cfg.is_directed and cfg.tune_radii:
