@@ -62,7 +62,10 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
     cfg = SweepConfig(is_directed=is_directed, tune=0, tune_interval=100,
                       n_burn=0, n_components=K,
                       a0=36.0, b0=40.0, c0=5.0, d0=2.0, table_cap=table_cap,
-                      tune_radii=is_directed)
+                      tune_radii=is_directed,
+                      # BENCH_LATENT=mala|parallel compares the alternative
+                      # X-update kernels at identical configs
+                      latent_update=os.environ.get('BENCH_LATENT', 'exact'))
     Yd = jnp.asarray(Y, DTYPE)
     n_int = 2 if is_directed else 1
     sweep = make_hdp_sweep(Yd, None, np.zeros(n_int, np.float32), cfg)
