@@ -53,11 +53,12 @@ def resolve_fit_mesh(n_chains, n_nodes, node_devices, devices,
     """
     from ..mcmc.driver import auto_mesh, spatial_auto_mesh
     if node_devices and node_devices > 1:
-        if latent_update != 'parallel':
+        if latent_update not in ('parallel', 'mala'):
             raise ValueError(
                 "node_devices > 1 shards the node axis across devices; the "
                 "sequential exact node scan cannot be partitioned — "
-                "construct the model with latent_update='parallel'")
+                "construct the model with latent_update='parallel' or "
+                "'mala' (both are fused dense passes GSPMD can shard)")
         return (spatial_auto_mesh(n_chains, n_nodes, node_devices, devices),
                 True)
     return auto_mesh(n_chains, devices), False

@@ -116,3 +116,18 @@ def test_mala_tuner_moves_toward_band():
     assert float(tune_step_size_mala(s, jnp.asarray(0.1))) < 1.0   # too low
     assert float(tune_step_size_mala(s, jnp.asarray(0.9))) > 1.0   # too high
     assert float(tune_step_size_mala(s, jnp.asarray(0.55))) == 1.0  # in band
+
+
+def test_mala_spatial_fit():
+    # MALA is a fused dense pass, so unlike the exact scan it shards over
+    # the node axis; fit on the 2-D ('chains', 'nodes') mesh
+    from jax.sharding import PartitionSpec as P
+    Y, _ = simple_splitting_dynamic_network(n_nodes=24, n_time_steps=2,
+                                            random_state=7)
+    m = DynamicNetworkLSM(n_iter=40, tune=40, burn=40, n_chains=2,
+                          node_devices=4, latent_update='mala',
+                          random_state=5).fit(Y)
+    assert m.mesh_.devices.shape == (2, 4)
+    assert m.state_sharding_.spec == P('chains', None, 'nodes', None)
+    assert np.isfinite(m.logps_).all()
+    assert m.auc_ > 0.6
