@@ -131,3 +131,66 @@ def test_mala_spatial_fit():
     assert m.state_sharding_.spec == P('chains', None, 'nodes', None)
     assert np.isfinite(m.logps_).all()
     assert m.auc_ > 0.6
+
+
+def test_mala_directed_joint_logp_and_fit():
+    # directed branch: the MALA target must equal the directed network
+    # loglik + RW prior, and a directed fit must run finite
+    from dynetlsm_tpu.ops.likelihoods import directed_loglik_full
+    from dynetlsm_tpu.ops.distances import pairwise_distances
+    T, n, d = 2, 12, 2
+    rng = np.random.RandomState(6)
+    X = jnp.asarray(rng.randn(T, n, d), jnp.float32)
+    Y = (rng.uniform(size=(T, n, n)) < 0.3).astype(np.float32)
+    for t in range(T):
+        np.fill_diagonal(Y[t], 0.0)
+    Yj = jnp.asarray(Y)
+    radii = jnp.asarray(rng.uniform(0.5, 1.5, size=n), jnp.float32)
+    b = jnp.asarray([0.4, -0.1], jnp.float32)
+    tau_sq, sigma_sq = 2.0, 0.1
+
+    got = float(_joint_latent_logp(Yj, X, b, radii, tau_sq, sigma_sq,
+                                   None, None, None, None, True, False))
+    ll = float(directed_loglik_full(Yj, pairwise_distances(X), radii,
+                                    b[0], b[1]))
+    prior = float(-0.5 * jnp.sum(X[0] * X[0]) / tau_sq
+                  - 0.5 * jnp.sum((X[1:] - X[:-1]) ** 2) / sigma_sq)
+    assert np.isclose(got, ll + prior, rtol=1e-5)
+
+    Yd, _, _ = load_monks(is_directed=True)
+    m = DynamicNetworkLSM(n_iter=100, tune=100, burn=100, is_directed=True,
+                          latent_update='mala', random_state=2).fit(Yd)
+    assert np.isfinite(m.logps_).all()
+    assert m.auc_ > 0.6
+
+
+def test_mala_mixture_joint_logp_oracle():
+    # mixture branch: network loglik + AR(1)-to-cluster-mean prior (the
+    # X-independent -0.5 log sigma_z terms are deliberately omitted — they
+    # cancel in the MH ratio)
+    from dynetlsm_tpu.ops.likelihoods import undirected_loglik_full
+    from dynetlsm_tpu.ops.distances import pairwise_distances
+    T, n, d, K = 3, 10, 2, 4
+    rng = np.random.RandomState(8)
+    X = rng.randn(T, n, d).astype(np.float32)
+    Y = (rng.uniform(size=(T, n, n)) < 0.4).astype(np.float32)
+    Y = np.triu(Y, 1)
+    Y = Y + Y.transpose(0, 2, 1)
+    z = rng.randint(0, K, size=(T, n))
+    mu = rng.randn(K, d).astype(np.float32)
+    sigma = rng.uniform(0.5, 1.5, size=K).astype(np.float32)
+    lam = 0.85
+
+    got = float(_joint_latent_logp(
+        jnp.asarray(Y), jnp.asarray(X), jnp.asarray([0.3]), None, None,
+        None, jnp.asarray(mu), jnp.asarray(sigma), jnp.asarray(lam),
+        jnp.asarray(z), False, True))
+
+    ll = float(undirected_loglik_full(jnp.asarray(Y),
+                                      pairwise_distances(jnp.asarray(X)),
+                                      0.3))
+    mu_z, sig_z = mu[z], sigma[z]
+    prior = -0.5 * np.sum(((X[0] - mu_z[0]) ** 2).sum(-1) / sig_z[0])
+    dft = X[1:] - (1 - lam) * X[:-1] - lam * mu_z[1:]
+    prior -= 0.5 * np.sum((dft ** 2).sum(-1) / sig_z[1:])
+    assert np.isclose(got, ll + prior, rtol=1e-4)
