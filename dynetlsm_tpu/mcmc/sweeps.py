@@ -92,6 +92,12 @@ class SweepConfig:
     # node-axis (spatial) sharding is active: keep every op on the XLA/GSPMD
     # path (the Pallas kernels assume unsharded operands)
     spatial: bool = False
+    # center the latent positions each sweep (reference lsm.py:501).  The
+    # projection is standard practice but not exactly measure-preserving
+    # (the X[0] ~ N(0, tau^2) prior is not translation-invariant); the
+    # Geweke joint-distribution test disables it to validate the pure
+    # Markov kernel against the untouched generative model.
+    center: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +307,8 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         X = jnp.where(it_next > cfg.n_burn, X_rot, X)
 
         # 3. center across time (lsm.py:501)
-        X = X - jnp.mean(X, axis=(0, 1))
+        if cfg.center:
+            X = X - jnp.mean(X, axis=(0, 1))
 
         # 4. cached distances — skipped under case-control (lsm.py:504-505)
         # and when the fused Pallas pair kernel evaluates the intercept MH
@@ -526,7 +533,8 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             is_directed=cfg.is_directed, mixture=True,
             scheme=cfg.latent_update)
         acc_X = state.acc_X + acc_new
-        X = X - jnp.mean(X, axis=(0, 1))
+        if cfg.center:
+            X = X - jnp.mean(X, axis=(0, 1))
         fused = _fused_pair_ok(cfg, Y.shape[-1])
         skip_dist = (use_cc and not cfg.sample_missing) or fused
         dist = None if skip_dist else pairwise_distances(X)
@@ -651,7 +659,8 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             is_directed=cfg.is_directed, mixture=True,
             scheme=cfg.latent_update)
         acc_X = state.acc_X + acc_new
-        X = X - jnp.mean(X, axis=(0, 1))
+        if cfg.center:
+            X = X - jnp.mean(X, axis=(0, 1))
         fused = _fused_pair_ok(cfg, Y.shape[-1])
         skip_dist = (use_cc and not cfg.sample_missing) or fused
         dist = None if skip_dist else pairwise_distances(X)
