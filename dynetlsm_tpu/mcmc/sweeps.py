@@ -92,6 +92,13 @@ class SweepConfig:
     # node-axis (spatial) sharding is active: keep every op on the XLA/GSPMD
     # path (the Pallas kernels assume unsharded operands)
     spatial: bool = False
+    # resample the HDP concentration parameters gamma / alpha_init /
+    # (alpha, kappa, rho) each sweep (reference hdp_lpcm.py:977-1023).
+    # Those Escobar-West-style updates are exact for a DP mixture but only
+    # approximate Gibbs under the weak-limit Dir(gamma/K) prior (in the
+    # reference too); the Geweke joint-distribution test fixes the
+    # concentrations to validate the exactly-conditional blocks.
+    sample_concentrations: bool = True
     # center the latent positions each sweep (reference lsm.py:501).  The
     # projection is standard practice but not exactly measure-preserving
     # (the X[0] ~ N(0, tau^2) prior is not translation-invariant); the
@@ -728,19 +735,25 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
                                                cfg.c0, cfg.d0)
 
         # concentration parameters (hdp_lpcm.py:977-1023)
-        gamma = sample_concentration_param(
-            keys[14], state.gamma,
-            n_clusters=jnp.sum(m_bar > 0).astype(X.dtype),
-            n_samples=jnp.clip(jnp.sum(m_bar), 1.0, None),
-            prior_shape=cfg.gamma_prior_shape, prior_rate=cfg.gamma_prior_rate)
-        alpha_init = sample_concentration_param(
-            keys[15], state.alpha_init,
-            n_clusters=jnp.sum(m[0, 0]),
-            n_samples=jnp.asarray(float(n)),
-            prior_shape=cfg.alpha_init_shape, prior_rate=cfg.alpha_init_rate)
-        alpha, kappa = sample_alpha_kappa_rho(
-            keys[16], n_trans, m, w_override, state.alpha, state.kappa,
-            cfg.alpha_kappa_shape, cfg.alpha_kappa_rate)
+        if cfg.sample_concentrations:
+            gamma = sample_concentration_param(
+                keys[14], state.gamma,
+                n_clusters=jnp.sum(m_bar > 0).astype(X.dtype),
+                n_samples=jnp.clip(jnp.sum(m_bar), 1.0, None),
+                prior_shape=cfg.gamma_prior_shape,
+                prior_rate=cfg.gamma_prior_rate)
+            alpha_init = sample_concentration_param(
+                keys[15], state.alpha_init,
+                n_clusters=jnp.sum(m[0, 0]),
+                n_samples=jnp.asarray(float(n)),
+                prior_shape=cfg.alpha_init_shape,
+                prior_rate=cfg.alpha_init_rate)
+            alpha, kappa = sample_alpha_kappa_rho(
+                keys[16], n_trans, m, w_override, state.alpha, state.kappa,
+                cfg.alpha_kappa_shape, cfg.alpha_kappa_rate)
+        else:
+            gamma, alpha_init = state.gamma, state.alpha_init
+            alpha, kappa = state.alpha, state.kappa
 
         # missing dyads
         missing_sum = state.missing_sum

@@ -307,3 +307,143 @@ def test_lpcm_joint_distribution(lpcm_geweke_samples):
     mc, sc = lpcm_geweke_samples
     z = _compare(mc, sc)
     assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
+
+
+# ---------------------------------------------------------------------------
+# HDP-LPCM (adds the partially-collapsed CRF table / beta / sticky-weights
+# blocks: z | w  ->  m | z, beta (w marginalised)  ->  beta | m_bar  ->
+# w | z, beta, the Fox et al. weak-limit augmentation).  Concentrations are
+# held fixed (sample_concentrations=False): their Escobar-West updates are
+# approximate under the weak-limit prior, in the reference too.
+# ---------------------------------------------------------------------------
+
+GAMMA_C, ALPHA_INIT_C, ALPHA_C, KAPPA_C = 3.0, 1.5, 2.0, 2.0
+
+
+def _hdp_prior_draws(rng, M):
+    beta_w = rng.dirichlet(np.full(K, GAMMA_C / K), size=M)     # (M, K)
+    # Dirichlet via normalised Gammas (np.random.dirichlet takes only a
+    # single concentration vector; Gamma shapes vectorise)
+    g0 = rng.gamma(ALPHA_INIT_C * beta_w + 1e-10)
+    w0 = g0 / g0.sum(-1, keepdims=True)
+    conc = (ALPHA_C * beta_w[:, None, None, :]
+            + KAPPA_C * np.eye(K)[None, None])                  # (M, 1, K, K)
+    gt = rng.gamma(np.broadcast_to(conc, (M, T - 1, K, K)) + 1e-10)
+    trans = gt / gt.sum(-1, keepdims=True)
+    mu = np.sqrt(MEAN_VAR) * rng.randn(M, K, D)
+    sigma = (0.5 * B_SIGMA) / rng.gamma(0.5 * A_SIGMA, 1.0, size=(M, K))
+    a, b = -LAMBDA_MEAN / np.sqrt(LAMBDA_VAR), (1 - LAMBDA_MEAN) / np.sqrt(
+        LAMBDA_VAR)
+    lmbda = scipy.stats.truncnorm.rvs(a, b, loc=LAMBDA_MEAN,
+                                      scale=np.sqrt(LAMBDA_VAR), size=M,
+                                      random_state=rng)
+    beta = B_MEAN + np.sqrt(B_VAR) * rng.randn(M)
+
+    z = np.zeros((M, T, N_NODES), np.int64)
+    u = rng.uniform(size=(M, T, N_NODES, 1))
+    z[:, 0] = (u[:, 0] > np.cumsum(w0, -1)[:, None, :]).sum(-1)
+    for t in range(1, T):
+        rows = trans[np.arange(M)[:, None], t - 1, z[:, t - 1]]  # (M, n, K)
+        z[:, t] = (u[:, t] > np.cumsum(rows, -1)).sum(-1)
+    z = np.clip(z, 0, K - 1)
+
+    X = np.zeros((M, T, N_NODES, D))
+    midx = np.arange(M)[:, None, None]
+    sig_z = sigma[midx, z]
+    mu_z = mu[midx, z]
+    X[:, 0] = mu_z[:, 0] + np.sqrt(sig_z[:, 0, :, None]) * rng.randn(
+        M, N_NODES, D)
+    for t in range(1, T):
+        mean_t = ((1.0 - lmbda[:, None, None]) * X[:, t - 1]
+                  + lmbda[:, None, None] * mu_z[:, t])
+        X[:, t] = mean_t + np.sqrt(sig_z[:, t, :, None]) * rng.randn(
+            M, N_NODES, D)
+
+    D_ = np.linalg.norm(X[:, :, :, None, :] - X[:, :, None, :, :], axis=-1)
+    P = scipy.special.expit(beta[:, None, None, None] - D_)
+    Y = _symmetric_bernoulli(rng, P)
+    return beta, lmbda, sigma, mu, X, Y, z, beta_w, w0, trans
+
+
+def _hdp_stats_np(draws):
+    beta, lmbda, sigma, mu, X, Y, _, beta_w, _, trans = draws
+    base = _stats_np(beta, X, Y)
+    diag = np.einsum('mtkk->mt', trans).mean(axis=-1) / K
+    extra = np.stack([
+        lmbda,
+        np.mean(sigma, axis=-1),
+        np.mean(np.sum(mu ** 2, axis=-1), axis=-1),
+        np.sum(beta_w ** 2, axis=-1),
+        diag,
+    ], axis=-1)
+    return np.concatenate([base, extra], axis=-1)
+
+
+def _hdp_stats_jax(s):
+    base = _stats_jax(s.intercept, s.X, s.Y)
+    diag = jnp.mean(jnp.einsum('tkk->t', s.weights[1:])) / K
+    extra = jnp.stack([
+        s.lmbda,
+        jnp.mean(s.sigma),
+        jnp.mean(jnp.sum(s.mu ** 2, axis=-1)),
+        jnp.sum(s.beta ** 2),
+        diag,
+    ])
+    return jnp.concatenate([base, extra])
+
+
+def _hdp_chain_state(rng):
+    (beta, lmbda, sigma, mu, X, Y, z, beta_w, w0, trans) = _hdp_prior_draws(
+        rng, 1)
+    f32 = lambda a: jnp.asarray(a[0], jnp.float32)  # noqa: E731
+    w_first = np.zeros((1, K, K), np.float32)
+    w_first[0, 0] = w0[0]
+    weights = jnp.concatenate([jnp.asarray(w_first), f32(trans)], axis=0)
+    return MixtureState(
+        key=jax.random.PRNGKey(rng.randint(2**31)),
+        it=jnp.zeros((), jnp.int32), X=f32(X),
+        intercept=jnp.asarray([beta[0]], jnp.float32), radii=None,
+        Y=f32(Y), z=jnp.asarray(z[0], jnp.int32),
+        mu=f32(mu), sigma=f32(sigma),
+        lmbda=jnp.asarray(lmbda[0], jnp.float32),
+        weights=weights, beta=f32(beta_w),
+        gamma=jnp.asarray(GAMMA_C, jnp.float32),
+        alpha_init=jnp.asarray(ALPHA_INIT_C, jnp.float32),
+        alpha=jnp.asarray(ALPHA_C, jnp.float32),
+        kappa=jnp.asarray(KAPPA_C, jnp.float32),
+        init_weights=None, trans_weights=None,
+        mean_var=jnp.asarray(MEAN_VAR, jnp.float32),
+        b_scale=jnp.asarray(B_SIGMA, jnp.float32),
+        step_X=jnp.full((T, N_NODES), 0.8, jnp.float32),
+        acc_X=jnp.zeros((T, N_NODES), jnp.float32),
+        step_int=jnp.full((1,), 0.4, jnp.float32),
+        acc_int=jnp.zeros((1,), jnp.float32),
+        step_radii=None, acc_radii=None, logp=jnp.zeros(()),
+        missing_sum=jnp.zeros((T, N_NODES, N_NODES), jnp.float32))
+
+
+@pytest.fixture(scope='module')
+def hdp_geweke_samples():
+    from dynetlsm_tpu.mcmc.sweeps import make_hdp_sweep
+    rng = np.random.RandomState(17)
+    mc = _hdp_stats_np(_hdp_prior_draws(rng, N_MC))
+
+    cfg = SweepConfig(sample_missing=True, tune=0, n_burn=NEVER_BURN,
+                      n_components=K, a=A_SIGMA,
+                      lambda_prior=LAMBDA_MEAN,
+                      lambda_variance_prior=LAMBDA_VAR,
+                      a0=None, c0=None, table_cap=N_NODES,
+                      sample_concentrations=False,
+                      intercept_variance_prior=B_VAR, center=False)
+    miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
+    sweep = make_hdp_sweep(None, miss, np.array([B_MEAN], np.float32), cfg)
+    states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[_hdp_chain_state(rng) for _ in range(N_CHAINS)])
+    sc = _run_chains(sweep, states, _hdp_stats_jax)
+    return mc, sc
+
+
+def test_hdp_joint_distribution(hdp_geweke_samples):
+    mc, sc = hdp_geweke_samples
+    z = _compare(mc, sc)
+    assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
