@@ -199,6 +199,128 @@ def test_lsm_geweke_has_power(lsm_geweke_samples):
 
 
 # ---------------------------------------------------------------------------
+# Directed LSM (social-radii likelihood + the Dirichlet-proposal radii MH,
+# whose proposal-asymmetry correction this test exercises end-to-end)
+#
+# The directed joint needs its own scales: latent distances must be
+# commensurate with the O(1/n) radii so the geometry factors (1 - d/r)
+# stay O(1).  With the undirected test's scales (distances ~2, radii
+# ~1/8) the factors are ~-15, the joint is violently bimodal between
+# empty-graph/large-intercept and dense/small-intercept states, and the
+# successive chain's (intercept, Y) pair has an integrated
+# autocorrelation time of tens of thousands of sweeps (verified with 4
+# independent 200k-sweep chains whose half-means wander on both sides of
+# the prior mean) — every moment comparison is then meaningless, not
+# because the kernel is wrong but because the regime does not mix.  The
+# intercept prior is also kept tight (sd 0.5) so the conditional
+# posterior given one resampled Y is wide relative to the prior and the
+# pair decorrelates in tens of sweeps.
+# ---------------------------------------------------------------------------
+
+B_IN, B_OUT = 0.5, 0.3
+D_BVAR = 0.25
+D_TAU_SQ, D_SIGMA_SQ = 0.01, 0.0025
+
+
+def _directed_prior_draws(rng, M):
+    b_in = B_IN + np.sqrt(D_BVAR) * rng.randn(M)
+    b_out = B_OUT + np.sqrt(D_BVAR) * rng.randn(M)
+    radii = rng.dirichlet(np.ones(N_NODES), size=M)         # (M, n)
+    X = np.zeros((M, T, N_NODES, D))
+    X[:, 0] = np.sqrt(D_TAU_SQ) * rng.randn(M, N_NODES, D)
+    for t in range(1, T):
+        X[:, t] = X[:, t - 1] + np.sqrt(D_SIGMA_SQ) * rng.randn(
+            M, N_NODES, D)
+    D_ = np.linalg.norm(X[:, :, :, None, :] - X[:, :, None, :, :], axis=-1)
+    eta = (b_in[:, None, None, None]
+           * (1.0 - D_ / radii[:, None, None, :])
+           + b_out[:, None, None, None]
+           * (1.0 - D_ / radii[:, None, :, None]))
+    P = scipy.special.expit(eta)
+    Y = ((rng.uniform(size=P.shape) < P) & _OFFD).astype(np.float64)
+    return b_in, b_out, radii, X, Y
+
+
+def _directed_stats_np(draws):
+    b_in, b_out, radii, X, Y = draws
+    D_ = np.linalg.norm(X[..., :, None, :] - X[..., None, :, :], axis=-1)
+    n_dyads = T * _OFFD.sum()
+    return np.stack([
+        b_in,
+        b_out,
+        np.mean(X ** 2, axis=(1, 2, 3)),
+        np.sum(Y * _OFFD, axis=(1, 2, 3)) / n_dyads,
+        np.mean((X[:, 1:] - X[:, :-1]) ** 2, axis=(1, 2, 3)),
+        np.sum(Y * D_ * _OFFD, axis=(1, 2, 3)) / n_dyads,
+        np.sum(radii ** 2, axis=-1),
+        np.sum(np.sqrt(radii), axis=-1),
+    ], axis=-1)
+
+
+def _directed_stats_jax(s):
+    dist = pairwise_distances(s.X)
+    offd = jnp.asarray(_OFFD, s.X.dtype)
+    n_dyads = T * _OFFD.sum()
+    return jnp.stack([
+        s.intercept[0],
+        s.intercept[1],
+        jnp.mean(s.X ** 2),
+        jnp.sum(s.Y * offd) / n_dyads,
+        jnp.mean((s.X[1:] - s.X[:-1]) ** 2),
+        jnp.sum(s.Y * dist * offd) / n_dyads,
+        jnp.sum(s.radii ** 2),
+        jnp.sum(jnp.sqrt(s.radii)),
+    ])
+
+
+def _directed_chain_state(rng):
+    b_in, b_out, radii, X, Y = _directed_prior_draws(rng, 1)
+    f32 = lambda a: jnp.asarray(a[0], jnp.float32)  # noqa: E731
+    X0 = f32(X)
+    intercept = jnp.asarray([b_in[0], b_out[0]], jnp.float32)
+    return LSMState(
+        key=jax.random.PRNGKey(rng.randint(2**31)),
+        it=jnp.zeros((), jnp.int32), X=X0,
+        intercept=intercept, radii=f32(radii), Y=f32(Y),
+        step_X=jnp.full((T, N_NODES), 0.1, jnp.float32),
+        acc_X=jnp.zeros((T, N_NODES), jnp.float32),
+        step_int=jnp.full((2,), 0.4, jnp.float32),
+        acc_int=jnp.zeros((2,), jnp.float32),
+        step_radii=jnp.asarray(100.0, jnp.float32),
+        acc_radii=jnp.zeros((), jnp.float32),
+        logp=jnp.zeros(()), logp_map=jnp.asarray(-1e30),
+        X_map=X0, intercept_map=intercept, radii_map=f32(radii),
+        logp_ref=jnp.asarray(-1e30), X_ref=X0,
+        missing_sum=jnp.zeros((T, N_NODES, N_NODES), jnp.float32))
+
+
+@pytest.fixture(scope='module')
+def directed_geweke_samples():
+    rng = np.random.RandomState(23)
+    mc = _directed_stats_np(_directed_prior_draws(rng, N_MC))
+
+    cfg = SweepConfig(is_directed=True, sample_missing=True, tune=0,
+                      n_burn=NEVER_BURN, tau_sq=D_TAU_SQ,
+                      sigma_sq=D_SIGMA_SQ,
+                      intercept_variance_prior=D_BVAR, tune_radii=False,
+                      center=False)
+    miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
+    sweep = make_lsm_sweep(None, miss,
+                           np.array([B_IN, B_OUT], np.float32), cfg)
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[_directed_chain_state(rng) for _ in range(N_CHAINS)])
+    sc = _run_chains(sweep, states, _directed_stats_jax)
+    return mc, sc
+
+
+def test_directed_lsm_joint_distribution(directed_geweke_samples):
+    mc, sc = directed_geweke_samples
+    z = _compare(mc, sc)
+    assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
+
+
+# ---------------------------------------------------------------------------
 # LPCM (FFBS labels + Dirichlet weights + conjugate mu/sigma/lambda blocks)
 # ---------------------------------------------------------------------------
 
