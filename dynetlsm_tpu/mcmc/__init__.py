@@ -23,3 +23,6 @@ from .sweeps import SweepConfig, make_lsm_sweep, make_lpcm_sweep, make_hdp_sweep
 from .driver import (
     chain_mesh, shard_state, replicate_state, make_scan_runner, collect_traces,
 )
+from .tempering import (
+    temper_ladder, replicate_tempered, make_pt_step,
+)

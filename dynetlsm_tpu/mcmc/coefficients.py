@@ -38,7 +38,8 @@ def _directed_loglik_pair(Y, dist, X, radii, bs_cur, bs_prop, cc):
 
 
 def sample_intercept_undirected(key, Y, dist, intercept, step_size,
-                                prior_mean, prior_var, X=None, cc=None):
+                                prior_mean, prior_var, X=None, cc=None,
+                                temper=None):
     """(reference sample_coefficients.py:77-86)
 
     intercept : (1,); returns (new_intercept, accepted: (1,), loglik_new).
@@ -67,15 +68,19 @@ def sample_intercept_undirected(key, Y, dist, intercept, step_size,
     def logprior(b):
         return -(b[0] - prior_mean) ** 2 / (2.0 * prior_var)
 
+    delta_ll = ll_prop - ll_cur
+    if temper is not None:
+        delta_ll = temper * delta_ll
     accept = random_walk_accept(
-        k_acc, ll_prop + logprior(prop) - ll_cur - logprior(intercept))
+        k_acc, delta_ll + logprior(prop) - logprior(intercept))
     new = jnp.where(accept, prop, intercept)
     ll_new = jnp.where(accept, ll_prop, ll_cur)
     return new, jnp.full((1,), accept.astype(intercept.dtype)), ll_new
 
 
 def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
-                               prior_mean, prior_var, X=None, cc=None):
+                               prior_mean, prior_var, X=None, cc=None,
+                               temper=None):
     """Sequential MH for (intercept_in, intercept_out)
     (reference sample_coefficients.py:18-75).
 
@@ -83,6 +88,7 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
     Returns (new, accepted (2,), loglik_new).
     """
     keys = jax.random.split(key, 4)
+    tb = 1.0 if temper is None else temper
 
     def logprior(b, prior_idx):
         return -(b - prior_mean[prior_idx]) ** 2 / (2.0 * prior_var)
@@ -92,8 +98,8 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
     ll_cur, ll_prop = _directed_loglik_pair(
         Y, dist, X, radii, (intercept[0], intercept[1]),
         (prop_in, intercept[1]), cc)
-    ratio = (ll_prop + logprior(prop_in, 0)
-             - ll_cur - logprior(intercept[0], 0))
+    ratio = (tb * (ll_prop - ll_cur)
+             + logprior(prop_in, 0) - logprior(intercept[0], 0))
     acc_in = random_walk_accept(keys[1], ratio)
     b_in = jnp.where(acc_in, prop_in, intercept[0])
     ll_in = jnp.where(acc_in, ll_prop, ll_cur)
@@ -102,8 +108,8 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
     # likelihood is the accepted value from the previous step)
     prop_out = intercept[1] + step_size[1] * jax.random.normal(keys[2])
     ll_prop_out = _directed_loglik(Y, dist, X, radii, b_in, prop_out, cc)
-    ratio = (ll_prop_out + logprior(prop_out, 1)
-             - ll_in - logprior(intercept[1], 1))
+    ratio = (tb * (ll_prop_out - ll_in)
+             + logprior(prop_out, 1) - logprior(intercept[1], 1))
     acc_out = random_walk_accept(keys[3], ratio)
     b_out = jnp.where(acc_out, prop_out, intercept[1])
     ll_new = jnp.where(acc_out, ll_prop_out, ll_in)
@@ -114,7 +120,7 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
 
 
 def sample_radii(key, Y, dist, intercept, radii, step_size, X=None, cc=None,
-                 loglik_cur=None):
+                 loglik_cur=None, temper=None):
     """Dirichlet-proposal MH on the radii simplex; the Dirichlet(1) prior is
     constant so only the likelihood enters (reference
     sample_coefficients.py:91-121).
@@ -127,4 +133,4 @@ def sample_radii(key, Y, dist, intercept, radii, step_size, X=None, cc=None,
         return _directed_loglik(Y, dist, X, r, intercept[0], intercept[1], cc)
 
     return dirichlet_metropolis_step(key, radii, logp, step_size,
-                                     logp_cur=loglik_cur)
+                                     logp_cur=loglik_cur, temper=temper)

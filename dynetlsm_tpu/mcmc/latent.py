@@ -93,7 +93,7 @@ def _mixture_prior_per_t(xs, x_cur, mu_z, sigma_z, lmbda):
 
 def _parallel_site_update(key, Y, X, intercept, step_size, radii, tau_sq,
                           sigma_sq, mu, sigma, lmbda, z, is_directed,
-                          mixture, cc=None):
+                          mixture, cc=None, temper=None):
     """All (t, node) proposals evaluated against the *stale* position field
     with independent per-site acceptance.
 
@@ -157,15 +157,18 @@ def _parallel_site_update(key, Y, X, intercept, step_size, radii, tau_sq,
         fwd = jnp.where(t_idx == T - 1, 0.0, fwd)
         return back + fwd
 
-    ratio = (site_ll(X_prop) - site_ll(X)
-             + site_prior(X_prop) - site_prior(X))
+    delta_ll = site_ll(X_prop) - site_ll(X)
+    if temper is not None:
+        delta_ll = temper * delta_ll
+    ratio = delta_ll + site_prior(X_prop) - site_prior(X)
     accept = log_u < ratio
     X_new = jnp.where(accept[..., None], X_prop, X)
     return X_new, accept.astype(X.dtype)
 
 
 def _joint_latent_logp(Y, X, intercept, radii, tau_sq, sigma_sq,
-                       mu, sigma, lmbda, z, is_directed, mixture):
+                       mu, sigma, lmbda, z, is_directed, mixture,
+                       temper=None):
     """Joint log density of the full position field (network likelihood +
     temporal prior), differentiable in X — the MALA target.
 
@@ -191,6 +194,8 @@ def _joint_latent_logp(Y, X, intercept, radii, tau_sq, sigma_sq,
         eta = intercept[0] - dist
         ll = 0.5 * jnp.sum((Y * eta - jax.nn.softplus(eta)) * mask)
 
+    if temper is not None:
+        ll = temper * ll
     if mixture:
         mu_z = mu[z]                                          # (T, n, d)
         sig_z = sigma[z]                                      # (T, n)
@@ -208,7 +213,7 @@ def _joint_latent_logp(Y, X, intercept, radii, tau_sq, sigma_sq,
 
 
 def _mala_update(key, Y, X, intercept, step_size, radii, tau_sq, sigma_sq,
-                 mu, sigma, lmbda, z, is_directed, mixture):
+                 mu, sigma, lmbda, z, is_directed, mixture, temper=None):
     """One joint Metropolis-adjusted Langevin step on the whole position
     field.
 
@@ -234,7 +239,7 @@ def _mala_update(key, Y, X, intercept, step_size, radii, tau_sq, sigma_sq,
     vg = jax.value_and_grad(
         lambda Xq: _joint_latent_logp(Y, Xq, intercept, radii, tau_sq,
                                       sigma_sq, mu, sigma, lmbda, z,
-                                      is_directed, mixture))
+                                      is_directed, mixture, temper=temper))
     k_eps, k_u = jax.random.split(key)
     s = step_size[..., None]                                  # (T, n, 1)
     s2 = s * s
@@ -262,7 +267,7 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
                             radii=None, tau_sq=None, sigma_sq=None,
                             mu=None, sigma=None, lmbda=None, z=None,
                             cc=None, is_directed=False, mixture=False,
-                            scheme='exact', noise=None):
+                            scheme='exact', noise=None, temper=None):
     """One full sweep of single-site MH updates over all (t, node) sites.
 
     Parameters
@@ -296,7 +301,8 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
                 "injected exact-scan noise stream cannot be honoured")
         return _parallel_site_update(key, Y, X, intercept, step_size, radii,
                                      tau_sq, sigma_sq, mu, sigma, lmbda, z,
-                                     is_directed, mixture, cc=cc)
+                                     is_directed, mixture, cc=cc,
+                                     temper=temper)
     if scheme == 'mala':
         if cc is not None:
             raise ValueError(
@@ -309,7 +315,7 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
                 "exact-scan noise stream cannot be honoured")
         return _mala_update(key, Y, X, intercept, step_size, radii,
                             tau_sq, sigma_sq, mu, sigma, lmbda, z,
-                            is_directed, mixture)
+                            is_directed, mixture, temper=temper)
 
     T, n, d = X.shape
     if noise is None:
@@ -326,7 +332,7 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     # position/noise buffers fit VMEM (n up to ~4000 at T=10).  Falls back
     # to the XLA fori_loop on other backends or under case-control.
     n_pad = max(-(-n // 128) * 128, 128)
-    if (scheme == 'exact' and cc is None
+    if (scheme == 'exact' and cc is None and temper is None
             and jax.default_backend() == 'tpu'):
         from ..ops.pallas_scan import _vmem_max_chains
         use_pallas = _vmem_max_chains(T, n_pad, is_directed,
@@ -345,13 +351,14 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     return xla_exact_scan(Y, X, intercept, step_size, eps, log_u,
                           radii=radii, tau_sq=tau_sq, sigma_sq=sigma_sq,
                           mu=mu, sigma=sigma, lmbda=lmbda, z=z, cc=cc,
-                          is_directed=is_directed, mixture=mixture)
+                          is_directed=is_directed, mixture=mixture,
+                          temper=temper)
 
 
 def xla_exact_scan(Y, X, intercept, step_size, eps, log_u, *,
                    radii=None, tau_sq=None, sigma_sq=None, mu=None,
                    sigma=None, lmbda=None, z=None, cc=None,
-                   is_directed=False, mixture=False):
+                   is_directed=False, mixture=False, temper=None):
     """The exact node scan as an XLA ``fori_loop`` with an injected proposal
     stream (also the reference implementation the Pallas kernel is verified
     against)."""
@@ -408,6 +415,8 @@ def xla_exact_scan(Y, X, intercept, step_size, eps, log_u, *,
                 lp = _rw_prior_per_t(x_prop, x_cur, tau_sq, sigma_sq)
                 lc = _rw_prior_per_t(x_cur, x_cur, tau_sq, sigma_sq)
 
+            if temper is not None:
+                delta_ll = temper * delta_ll
             ratio = delta_ll + lp - lc
             in_phase = (t_idx % 2) == phase
             accept = jnp.logical_and(log_u[phase, j] < ratio, in_phase)

@@ -76,12 +76,15 @@ def random_walk_accept(key, logp_diff):
     return jnp.log(u) < logp_diff
 
 
-def dirichlet_metropolis_step(key, x0, logp_fn, step_size, logp_cur=None):
+def dirichlet_metropolis_step(key, x0, logp_fn, step_size, logp_cur=None,
+                              temper=None):
     """One MH step with a Dirichlet(step_size * x0) proposal
     (reference metropolis.py:57-82).
 
     ``logp_fn(x)`` must return the target log density; pass ``logp_cur`` to
-    reuse an already-computed value of ``logp_fn(x0)``.  Returns
+    reuse an already-computed value of ``logp_fn(x0)``.  ``temper`` scales
+    the target-density difference in the acceptance ratio (parallel
+    tempering) while the returned log densities stay untempered.  Returns
     (x_new, accepted: float scalar, logp_new).
     """
     k_prop, k_acc = jax.random.split(key)
@@ -90,6 +93,8 @@ def dirichlet_metropolis_step(key, x0, logp_fn, step_size, logp_cur=None):
     if logp_cur is None:
         logp_cur = logp_fn(x0)
     ratio = logp_prop - logp_cur
+    if temper is not None:
+        ratio = temper * ratio
     # proposal asymmetry correction
     ratio += (dirichlet_logpdf(x0, step_size * x)
               - dirichlet_logpdf(x, step_size * x0))

@@ -40,6 +40,9 @@ class LSMState(NamedTuple):
     # case-control control-node index tensors (T, n, n_control), -1 padded
     ctrl_in: Optional[jnp.ndarray] = None
     ctrl_out: Optional[jnp.ndarray] = None
+    # inverse temperature of the NETWORK likelihood (parallel tempering,
+    # mcmc/tempering.py); None (the default) compiles the untempered sweep
+    temper: Optional[jnp.ndarray] = None
 
 
 class MixtureState(NamedTuple):
@@ -87,3 +90,6 @@ class MixtureState(NamedTuple):
     # case-control control-node index tensors (T, n, n_control), -1 padded
     ctrl_in: Optional[jnp.ndarray] = None
     ctrl_out: Optional[jnp.ndarray] = None
+    # inverse temperature of the NETWORK likelihood (parallel tempering,
+    # mcmc/tempering.py); None (the default) compiles the untempered sweep
+    temper: Optional[jnp.ndarray] = None

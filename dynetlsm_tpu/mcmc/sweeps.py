@@ -179,15 +179,30 @@ def _cc_structures(cfg, key, state, Y, cc_static, it_hint=None):
     return cc, ctrl_in, ctrl_out
 
 
-def _resample_missing(cfg, key, Y, dist, intercept, radii, miss_mask):
+def _resample_missing(cfg, key, Y, dist, intercept, radii, miss_mask,
+                      temper=None):
     """Gibbs-resample missing dyads from their Bernoulli conditionals
-    (reference lsm.py:526-545, hdp_lpcm.py:1026-1049)."""
+    (reference lsm.py:526-545, hdp_lpcm.py:1026-1049).
+
+    Under parallel tempering the conditional of a dyad given the tempered
+    likelihood p(Y|theta)^beta is Bernoulli with logit scaled by beta:
+    p^beta / (p^beta + (1-p)^beta) = expit(beta * eta)."""
+    from ..ops.likelihoods import directed_eta
     n = Y.shape[-1]
     if cfg.is_directed:
-        probas = directed_network_probas(dist, radii, intercept[0], intercept[1])
+        if temper is None:
+            probas = directed_network_probas(dist, radii, intercept[0],
+                                             intercept[1])
+        else:
+            eta = directed_eta(dist, radii, intercept[0], intercept[1])
+            probas = jax.nn.sigmoid(temper * eta) * (
+                1.0 - jnp.eye(n, dtype=dist.dtype))
         draw = (jax.random.uniform(key, Y.shape) < probas).astype(Y.dtype)
         return jnp.where(miss_mask, draw, Y)
-    probas = jax.nn.sigmoid(intercept[0] - dist)
+    eta = intercept[0] - dist
+    if temper is not None:
+        eta = temper * eta
+    probas = jax.nn.sigmoid(eta)
     u = jax.random.uniform(key, Y.shape)
     draw = (u < probas).astype(Y.dtype)
     triu = jnp.triu(jnp.ones((n, n), Y.dtype), k=1)
@@ -306,7 +321,7 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             keys[0], Y, state.X, state.intercept, state.step_X,
             radii=state.radii, tau_sq=cfg.tau_sq, sigma_sq=cfg.sigma_sq,
             cc=cc, is_directed=cfg.is_directed, mixture=False,
-            scheme=cfg.latent_update)
+            scheme=cfg.latent_update, temper=state.temper)
         acc_X = state.acc_X + acc_new
 
         # 2. Procrustes toward the burn-phase MAP (reference lsm.py:495-498)
@@ -329,19 +344,20 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             intercept, acc_i, net_ll = sample_intercepts_directed(
                 keys[1], Y, dist, state.intercept, state.radii,
                 state.step_int, intercept_prior, cfg.intercept_variance_prior,
-                X=X, cc=cc)
+                X=X, cc=cc, temper=state.temper)
         else:
             intercept, acc_i, net_ll = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
                 intercept_prior[0], cfg.intercept_variance_prior, X=X,
-                cc=cc)
+                cc=cc, temper=state.temper)
         acc_int = state.acc_int + acc_i
 
         # 6. radii (directed)
         if cfg.is_directed:
             radii, acc_r, net_ll = sample_radii(keys[2], Y, dist, intercept,
                                                 state.radii, state.step_radii,
-                                                X=X, cc=cc, loglik_cur=net_ll)
+                                                X=X, cc=cc, loglik_cur=net_ll,
+                                                temper=state.temper)
             acc_radii = state.acc_radii + acc_r
         else:
             radii, acc_radii = None, None
@@ -351,7 +367,7 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         if cfg.sample_missing:
             net_ll = None  # Y is resampled below; the cached value is stale
             Y = _resample_missing(cfg, keys[3], Y, dist, intercept, radii,
-                                  miss_mask)
+                                  miss_mask, temper=state.temper)
             missing_sum = missing_sum + jnp.where(
                 it_next > cfg.n_burn, jnp.where(miss_mask, Y, 0.0), 0.0)
 
@@ -394,7 +410,7 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             logp=logp, logp_map=logp_map, X_map=X_map,
             intercept_map=intercept_map, radii_map=radii_map,
             logp_ref=logp_ref, X_ref=X_ref, missing_sum=missing_sum,
-            ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+            ctrl_in=ctrl_in, ctrl_out=ctrl_out, temper=state.temper)
 
     return sweep
 
@@ -538,7 +554,7 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             radii=state.radii, mu=state.mu, sigma=state.sigma,
             lmbda=state.lmbda, z=state.z, cc=cc,
             is_directed=cfg.is_directed, mixture=True,
-            scheme=cfg.latent_update)
+            scheme=cfg.latent_update, temper=state.temper)
         acc_X = state.acc_X + acc_new
         if cfg.center:
             X = X - jnp.mean(X, axis=(0, 1))
@@ -551,17 +567,18 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             intercept, acc_i, net_ll = sample_intercepts_directed(
                 keys[1], Y, dist, state.intercept, state.radii,
                 state.step_int, intercept_prior, cfg.intercept_variance_prior,
-                X=X, cc=cc)
+                X=X, cc=cc, temper=state.temper)
         else:
             intercept, acc_i, net_ll = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
                 intercept_prior[0], cfg.intercept_variance_prior, X=X,
-                cc=cc)
+                cc=cc, temper=state.temper)
         acc_int = state.acc_int + acc_i
         if cfg.is_directed:
             radii, acc_r, net_ll = sample_radii(keys[2], Y, dist, intercept,
                                                 state.radii, state.step_radii,
-                                                X=X, cc=cc, loglik_cur=net_ll)
+                                                X=X, cc=cc, loglik_cur=net_ll,
+                                                temper=state.temper)
             acc_radii = state.acc_radii + acc_r
         else:
             radii, acc_radii = None, None
@@ -601,7 +618,7 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         if cfg.sample_missing:
             net_ll = None  # Y is resampled below; the cached value is stale
             Y = _resample_missing(cfg, keys[11], Y, dist, intercept, radii,
-                                  miss_mask)
+                                  miss_mask, temper=state.temper)
             missing_sum = missing_sum + jnp.where(
                 it_next > cfg.n_burn, jnp.where(miss_mask, Y, 0.0), 0.0)
 
@@ -664,7 +681,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             radii=state.radii, mu=state.mu, sigma=state.sigma,
             lmbda=state.lmbda, z=state.z, cc=cc,
             is_directed=cfg.is_directed, mixture=True,
-            scheme=cfg.latent_update)
+            scheme=cfg.latent_update, temper=state.temper)
         acc_X = state.acc_X + acc_new
         if cfg.center:
             X = X - jnp.mean(X, axis=(0, 1))
@@ -677,17 +694,18 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             intercept, acc_i, net_ll = sample_intercepts_directed(
                 keys[1], Y, dist, state.intercept, state.radii,
                 state.step_int, intercept_prior, cfg.intercept_variance_prior,
-                X=X, cc=cc)
+                X=X, cc=cc, temper=state.temper)
         else:
             intercept, acc_i, net_ll = sample_intercept_undirected(
                 keys[1], Y, dist, state.intercept, state.step_int[0],
                 intercept_prior[0], cfg.intercept_variance_prior, X=X,
-                cc=cc)
+                cc=cc, temper=state.temper)
         acc_int = state.acc_int + acc_i
         if cfg.is_directed:
             radii, acc_r, net_ll = sample_radii(keys[2], Y, dist, intercept,
                                                 state.radii, state.step_radii,
-                                                X=X, cc=cc, loglik_cur=net_ll)
+                                                X=X, cc=cc, loglik_cur=net_ll,
+                                                temper=state.temper)
             acc_radii = state.acc_radii + acc_r
         else:
             radii, acc_radii = None, None
@@ -760,7 +778,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         if cfg.sample_missing:
             net_ll = None  # Y is resampled below; the cached value is stale
             Y = _resample_missing(cfg, keys[17], Y, dist, intercept, radii,
-                                  miss_mask)
+                                  miss_mask, temper=state.temper)
             missing_sum = missing_sum + jnp.where(
                 it_next > cfg.n_burn, jnp.where(miss_mask, Y, 0.0), 0.0)
 

@@ -1,0 +1,187 @@
+"""Parallel-tempering correctness and effectiveness tests.
+
+Methodology note: chains start from exact prior draws, so every chain is
+stationary from sweep 0 and per-ladder-block means are iid unbiased
+estimates regardless of mixing speed — z-tests against iid
+marginal-conditional draws use block-level standard errors, which stay
+honest even when slot traces interleave configurations (replica exchange
+deflates odd-lag autocorrelation, which fools autocorrelation-based ESS
+estimators like Geyer's; block SEs don't care).
+"""
+import numpy as np
+import pytest
+import scipy.special
+
+import jax
+import jax.numpy as jnp
+
+from dynetlsm_tpu.mcmc.states import LSMState
+from dynetlsm_tpu.mcmc.sweeps import SweepConfig, make_lsm_sweep
+from dynetlsm_tpu.mcmc.tempering import (
+    temper_ladder, replicate_tempered, make_pt_step, _swap_partners)
+
+from tests.test_geweke_joint import (
+    _OFFD, NEVER_BURN, T, N_NODES, D,
+    B_IN, B_OUT, D_BVAR, D_TAU_SQ, D_SIGMA_SQ,
+    _directed_prior_draws, _directed_stats_np, _directed_stats_jax,
+    _directed_chain_state)
+
+# the "hard" directed regime: latent distances ~15x the O(1/n) radii make
+# the (intercepts, Y) joint near-bimodal; single-site Gibbs has
+# autocorrelation times of tens of thousands of sweeps here
+# (tests/test_geweke_joint.py's directed section documents the
+# measurement) — the regime parallel tempering exists for.
+H_TAU_SQ, H_SIGMA_SQ, H_BVAR = 2.0, 0.3, 1.0
+H_B_IN, H_B_OUT = 1.0, 0.8
+
+
+def _hard_draws(rng, M):
+    b_in = H_B_IN + np.sqrt(H_BVAR) * rng.randn(M)
+    b_out = H_B_OUT + np.sqrt(H_BVAR) * rng.randn(M)
+    radii = rng.dirichlet(np.ones(N_NODES), size=M)
+    X = np.zeros((M, T, N_NODES, D))
+    X[:, 0] = np.sqrt(H_TAU_SQ) * rng.randn(M, N_NODES, D)
+    for t in range(1, T):
+        X[:, t] = X[:, t - 1] + np.sqrt(H_SIGMA_SQ) * rng.randn(
+            M, N_NODES, D)
+    D_ = np.linalg.norm(X[:, :, :, None, :] - X[:, :, None, :, :], axis=-1)
+    eta = (b_in[:, None, None, None] * (1 - D_ / radii[:, None, None, :])
+           + b_out[:, None, None, None] * (1 - D_ / radii[:, None, :, None]))
+    P = scipy.special.expit(eta)
+    Y = ((rng.uniform(size=P.shape) < P) & _OFFD).astype(np.float64)
+    return b_in, b_out, radii, X, Y
+
+
+def _hard_chain_state(rng):
+    b_in, b_out, radii, X, Y = _hard_draws(rng, 1)
+    f32 = lambda a: jnp.asarray(a[0], jnp.float32)  # noqa: E731
+    X0 = f32(X)
+    b = jnp.asarray([b_in[0], b_out[0]], jnp.float32)
+    return LSMState(
+        key=jax.random.PRNGKey(rng.randint(2**31)),
+        it=jnp.zeros((), jnp.int32), X=X0, intercept=b, radii=f32(radii),
+        Y=f32(Y),
+        step_X=jnp.full((T, N_NODES), 0.8, jnp.float32),
+        acc_X=jnp.zeros((T, N_NODES), jnp.float32),
+        step_int=jnp.full((2,), 0.5, jnp.float32),
+        acc_int=jnp.zeros((2,), jnp.float32),
+        step_radii=jnp.asarray(100.0, jnp.float32),
+        acc_radii=jnp.zeros((), jnp.float32),
+        logp=jnp.zeros(()), logp_map=jnp.asarray(-1e30), X_map=X0,
+        intercept_map=b, radii_map=f32(radii),
+        logp_ref=jnp.asarray(-1e30), X_ref=X0,
+        missing_sum=jnp.zeros((T, N_NODES, N_NODES), jnp.float32))
+
+
+def _scan_stats(step_fn, states, n_sweeps):
+    @jax.jit
+    def go(s0):
+        return jax.lax.scan(
+            lambda s, _: (lambda q: (q, jax.vmap(_directed_stats_jax)(q)))(
+                step_fn(s)),
+            s0, None, length=n_sweeps)[1]
+    return np.asarray(go(states), np.float64)       # (N, C, S)
+
+
+def test_ladder_and_partners():
+    betas = np.asarray(temper_ladder(5, 0.1, n_ladders=3))
+    assert betas.shape == (15,)
+    assert np.allclose(betas[:5][0], 1.0) and np.isclose(betas[4], 0.1)
+    assert np.all(np.diff(betas[:5]) < 0)
+    assert np.allclose(betas[:5], betas[5:10])
+    p0, p1 = (np.asarray(p) for p in _swap_partners(8, 4))
+    # involutions confined to 4-slot blocks
+    for p in (p0, p1):
+        assert np.array_equal(p[p], np.arange(8))
+        assert np.array_equal(p // 4, np.arange(8) // 4)
+    with pytest.raises(ValueError):
+        _swap_partners(10, 4)
+    with pytest.raises(ValueError):
+        temper_ladder(1)
+
+    rng = np.random.RandomState(0)
+    s = replicate_tempered(_hard_chain_state(rng), temper_ladder(4, 0.1),
+                           jax.random.PRNGKey(1))
+    assert s.temper.shape == (4,) and s.X.shape[0] == 4
+    assert not np.array_equal(np.asarray(s.key[0]), np.asarray(s.key[1]))
+
+
+def test_pt_swap_preserves_distribution():
+    """Replica exchange at equal temperatures is pure config relabeling:
+    the per-slot marginal must match iid prior/model draws.  This drives
+    the full swap machinery (partner pairing, shared pair uniforms,
+    config-field gathers) under the real sweep."""
+    rng = np.random.RandomState(23)
+    mc = _directed_stats_np(_directed_prior_draws(rng, 30000))
+
+    cfg = SweepConfig(is_directed=True, sample_missing=True, tune=0,
+                      n_burn=NEVER_BURN, tau_sq=D_TAU_SQ,
+                      sigma_sq=D_SIGMA_SQ,
+                      intercept_variance_prior=D_BVAR, tune_radii=False,
+                      center=False)
+    miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
+    sweep = make_lsm_sweep(None, miss,
+                           np.array([B_IN, B_OUT], np.float32), cfg)
+    NT, NB, NSW = 4, 12, 2500
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[_directed_chain_state(rng) for _ in range(NT * NB)])
+    states = states._replace(temper=jnp.ones((NT * NB,), jnp.float32))
+    pt = make_pt_step(sweep, cfg, None, NT, swap_every=1)
+    sc = _scan_stats(pt, states, NSW)
+
+    blocks = sc.reshape(NSW, NB, NT, -1).mean(axis=(0, 2))   # (NB, S)
+    gm, se = blocks.mean(0), blocks.std(0, ddof=1) / np.sqrt(NB)
+    mc_mean = mc.mean(0)
+    mc_se = mc.std(0, ddof=1) / np.sqrt(mc.shape[0])
+    z = (gm - mc_mean) / np.sqrt(se**2 + mc_se**2)
+    assert np.all(np.abs(z) < 4.5), f'block z-scores {z}'
+
+
+def test_pt_samples_metastable_joint():
+    """In the hard regime, the cold (beta = 1) slots of real ladders must
+    (a) match the iid joint within honest block SEs and (b) estimate the
+    edge density with far smaller across-block variance than untempered
+    chains — the mixing win replica exchange exists for."""
+    rng = np.random.RandomState(31)
+    mc = _directed_stats_np(_hard_draws(rng, 30000))
+
+    cfg = SweepConfig(is_directed=True, sample_missing=True, tune=0,
+                      n_burn=NEVER_BURN, tau_sq=H_TAU_SQ,
+                      sigma_sq=H_SIGMA_SQ,
+                      intercept_variance_prior=H_BVAR, tune_radii=False,
+                      center=False)
+    miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
+    sweep = make_lsm_sweep(None, miss,
+                           np.array([H_B_IN, H_B_OUT], np.float32), cfg)
+    NT, NB, NSW = 10, 8, 4000
+    betas = temper_ladder(NT, 0.02, NB)
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[_hard_chain_state(rng) for _ in range(NT * NB)])
+    states = states._replace(temper=jnp.asarray(betas))
+    pt = make_pt_step(sweep, cfg, None, NT, swap_every=1)
+    sc = _scan_stats(pt, states, NSW)
+
+    cold_blocks = sc[:, ::NT, :].mean(0)                     # (NB, S)
+    gm = cold_blocks.mean(0)
+    se = cold_blocks.std(0, ddof=1) / np.sqrt(NB)
+    mc_mean = mc.mean(0)
+    mc_se = mc.std(0, ddof=1) / np.sqrt(mc.shape[0])
+    z = (gm - mc_mean) / np.sqrt(se**2 + mc_se**2)
+    assert np.all(np.abs(z) < 4.5), f'cold-slot block z-scores {z}'
+
+    # untempered control: same number of independent chains as blocks
+    vstep = jax.vmap(sweep, in_axes=(0, None))
+    plain_states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[_hard_chain_state(rng) for _ in range(NB)])
+    plain = _scan_stats(
+        lambda s: vstep(s, jnp.reshape(s.it, (-1,))[0]), plain_states, NSW)
+    plain_blocks = plain.mean(0)                             # (NB, S)
+
+    dens_std_plain = plain_blocks[:, 3].std(ddof=1)
+    dens_std_pt = cold_blocks[:, 3].std(ddof=1)
+    assert dens_std_pt * 1.5 < dens_std_plain, (
+        'replica exchange did not reduce the metastable density variance: '
+        f'plain {dens_std_plain:.4f} vs PT {dens_std_pt:.4f}')
