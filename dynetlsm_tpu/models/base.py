@@ -64,6 +64,45 @@ def resolve_fit_mesh(n_chains, n_nodes, node_devices, devices,
     return auto_mesh(n_chains, devices), False
 
 
+def setup_tempering(sweep, cfg, Y_fixed_dev, n_chains, n_temps, beta_min,
+                    swap_every, state, spatial):
+    """Attach per-slot inverse-temperature ladders and wrap the sweep for
+    replica exchange (``n_temps > 1``).
+
+    ``state`` must already be replicated to ``n_chains * n_temps`` slots;
+    each consecutive block of ``n_temps`` slots becomes one ladder (cold
+    chain first).  Returns ``(step_fn, multi_chain, state)`` for
+    :func:`dynetlsm_tpu.mcmc.driver.make_scan_runner` — the PT step
+    handles the chain axis itself, so ``multi_chain=False``.
+    """
+    if n_temps is None or int(n_temps) <= 1:
+        return sweep, True, state
+    if spatial:
+        raise ValueError(
+            'n_temps > 1 (parallel tempering) is not supported together '
+            'with node_devices > 1: the replica-exchange gather permutes '
+            'the chain axis, which conflicts with the 2-D spatial mesh')
+    from ..mcmc.tempering import temper_ladder, make_pt_step
+    betas = temper_ladder(int(n_temps), float(beta_min),
+                          n_ladders=n_chains)
+    state = state._replace(temper=jnp.asarray(betas))
+    step = make_pt_step(sweep, cfg, Y_fixed_dev, int(n_temps),
+                        swap_every=int(swap_every))
+    return step, False, state
+
+
+def strip_hot_slots(state, traces, n_temps):
+    """Keep only the cold (beta = 1) slots of a tempered run: slot 0 of
+    each ladder block.  Posterior attributes, MAP selection, and
+    missing-dyad averages must come from the cold chains only."""
+    if n_temps is None or int(n_temps) <= 1:
+        return state, traces
+    k = int(n_temps)
+    state = jax.tree.map(lambda v: v[::k], state)
+    traces = jax.tree.map(lambda v: v[:, ::k], traces)
+    return state, traces
+
+
 def chain_traces_to_numpy(traces, n_chains):
     """Reorder scan traces from (samples, chains, ...) to reference layout.
 

@@ -33,7 +33,8 @@ from ..ops.likelihoods import (
     undirected_network_probas, directed_network_probas)
 from .base import (
     validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
-    build_case_control, init_cc_dict, resolve_n_control, resolve_fit_mesh)
+    build_case_control, init_cc_dict, resolve_n_control, resolve_fit_mesh,
+    setup_tempering, strip_hot_slots)
 
 __all__ = ['DynamicNetworkLSM']
 
@@ -82,6 +83,9 @@ class DynamicNetworkLSM:
                  trace_chunk=512,
                  checkpoint_dir=None,
                  latent_update='exact',
+                 n_temps=1,
+                 beta_min=0.1,
+                 swap_every=1,
                  verbose=False):
         self.n_iter = n_iter
         self.is_directed = is_directed
@@ -106,6 +110,9 @@ class DynamicNetworkLSM:
         self.trace_chunk = trace_chunk
         self.checkpoint_dir = checkpoint_dir
         self.latent_update = latent_update
+        self.n_temps = n_temps
+        self.beta_min = beta_min
+        self.swap_every = swap_every
         self.verbose = verbose
 
     # ------------------------------------------------------------------ api
@@ -165,7 +172,8 @@ class DynamicNetworkLSM:
         # configuration before any expensive initialisation work, and
         # under node sharding the network must be placed row-sharded
         # before the sweep factory closes over it
-        mesh, spatial = resolve_fit_mesh(self.n_chains, n,
+        n_slots = self.n_chains * max(1, int(self.n_temps or 1))
+        mesh, spatial = resolve_fit_mesh(n_slots, n,
                                          self.node_devices,
                                          self.devices,
                                          self.latent_update)
@@ -268,8 +276,11 @@ class DynamicNetworkLSM:
             ctrl_out=ctrl0[1] if ctrl0 else None)
 
         # ---- chains + mesh
-        state = replicate_state(state0, self.n_chains,
+        state = replicate_state(state0, n_slots,
                                 jax.random.PRNGKey(rng.randint(0, 2**31 - 1)))
+        step_fn, multi_chain, state = setup_tempering(
+            sweep, cfg, None if sample_missing else Y_dev, self.n_chains,
+            self.n_temps, self.beta_min, self.swap_every, state, spatial)
         if mesh is not None:
             state = (shard_state_spatial(state, mesh) if spatial
                      else shard_state(state, mesh))
@@ -281,7 +292,8 @@ class DynamicNetworkLSM:
                 out['radii'] = s.radii
             return out
 
-        runner = make_scan_runner(sweep, trace_fn, chunk=self.trace_chunk,
+        runner = make_scan_runner(step_fn, trace_fn, chunk=self.trace_chunk,
+                                  multi_chain=multi_chain,
                                   state_shardings=(
                                       state_shardings_of(state)
                                       if mesh is not None else None))
@@ -292,6 +304,7 @@ class DynamicNetworkLSM:
                                        progress=_progress(self.verbose),
                                        mesh=mesh)
         self.state_sharding_ = getattr(state.X, 'sharding', None)
+        state, traces = strip_hot_slots(state, traces, self.n_temps)
         self._final_state = jax.tree.map(np.asarray, state)
 
         # ---- assemble reference-style traces (sample 0 = the init draw)

@@ -106,6 +106,32 @@ def test_ladder_and_partners():
     assert not np.array_equal(np.asarray(s.key[0]), np.asarray(s.key[1]))
 
 
+def test_estimator_n_temps():
+    """Public-API integration: a tempered fit runs the PT step, keeps only
+    the cold slots in traces/attributes, and produces a sane fit."""
+    from dynetlsm_tpu import DynamicNetworkLSM, DynamicNetworkHDPLPCM
+    from dynetlsm_tpu.datasets import load_monks
+    Y, _, _ = load_monks(is_directed=False)
+
+    m = DynamicNetworkLSM(n_iter=40, tune=40, burn=40, n_chains=2,
+                          n_temps=3, beta_min=0.2,
+                          random_state=5).fit(Y)
+    assert m.Xs_.shape[0] == 2                       # cold chains only
+    assert m.logps_.shape[0] == 2
+    assert np.isfinite(m.logps_).all()
+    assert m.auc_ > 0.5
+
+    h = DynamicNetworkHDPLPCM(n_iter=30, tune=30, burn=30, n_components=6,
+                              n_chains=1, n_temps=2, beta_min=0.3,
+                              random_state=7).fit(Y)
+    assert h.X_.shape == Y.shape[:2] + (2,)
+    assert np.isfinite(h.logps_).all()
+
+    with pytest.raises(ValueError):
+        DynamicNetworkLSM(n_temps=2, node_devices=2,
+                          latent_update='parallel').fit(Y[:, :16, :16])
+
+
 def test_pt_swap_preserves_distribution():
     """Replica exchange at equal temperatures is pure config relabeling:
     the per-slot marginal must match iid prior/model draws.  This drives
