@@ -43,6 +43,9 @@ class LSMState(NamedTuple):
     # inverse temperature of the NETWORK likelihood (parallel tempering,
     # mcmc/tempering.py); None (the default) compiles the untempered sweep
     temper: Optional[jnp.ndarray] = None
+    # accumulated replica-swap acceptances of the pair (slot, slot+1),
+    # driving ladder adaptation during the tune phase
+    acc_swap: Optional[jnp.ndarray] = None
 
 
 class MixtureState(NamedTuple):
@@ -93,3 +96,6 @@ class MixtureState(NamedTuple):
     # inverse temperature of the NETWORK likelihood (parallel tempering,
     # mcmc/tempering.py); None (the default) compiles the untempered sweep
     temper: Optional[jnp.ndarray] = None
+    # accumulated replica-swap acceptances of the pair (slot, slot+1),
+    # driving ladder adaptation during the tune phase
+    acc_swap: Optional[jnp.ndarray] = None

@@ -410,7 +410,8 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
             logp=logp, logp_map=logp_map, X_map=X_map,
             intercept_map=intercept_map, radii_map=radii_map,
             logp_ref=logp_ref, X_ref=X_ref, missing_sum=missing_sum,
-            ctrl_in=ctrl_in, ctrl_out=ctrl_out, temper=state.temper)
+            ctrl_in=ctrl_in, ctrl_out=ctrl_out, temper=state.temper,
+            acc_swap=state.acc_swap)
 
     return sweep
 

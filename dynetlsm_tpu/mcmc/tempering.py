@@ -95,7 +95,34 @@ def _swap_partners(n_chains, n_temps):
     return partners
 
 
-def make_pt_step(sweep_fn, cfg, Y_fixed, n_temps, swap_every=1):
+def _adapt_ladder(temper, acc_swap, n_temps, n_attempts, eta=0.6):
+    """One ladder-adaptation step: redistribute the inter-rung log-beta
+    spacings toward equal per-pair swap acceptance (Vousden, Farr &
+    Mandel 2016 style), keeping each ladder's endpoints (1, beta_min)
+    fixed.  ``acc_swap[i]`` holds accepted swaps of the pair (i, i+1)
+    since the last adaptation; each pair is attempted ``n_attempts``
+    times per window.
+    """
+    C = temper.shape[0]
+    L = C // n_temps
+    tb = temper.reshape(L, n_temps)
+    rate = (acc_swap.reshape(L, n_temps)[:, :n_temps - 1]
+            / jnp.maximum(n_attempts, 1.0))               # (L, P)
+    logb = jnp.log(jnp.clip(tb, 1e-30, None))
+    s = logb[:, :-1] - logb[:, 1:]                        # spacings >= 0
+    s_new = s * jnp.exp(eta * (rate - jnp.mean(rate, axis=1, keepdims=True)))
+    # keep the total span (and so beta_min) fixed
+    s_new = s_new * (jnp.sum(s, axis=1, keepdims=True)
+                     / jnp.clip(jnp.sum(s_new, axis=1, keepdims=True),
+                                1e-30, None))
+    logb_new = jnp.concatenate(
+        [jnp.zeros((L, 1), temper.dtype),
+         -jnp.cumsum(s_new, axis=1)], axis=1)
+    return jnp.exp(logb_new).reshape(C)
+
+
+def make_pt_step(sweep_fn, cfg, Y_fixed, n_temps, swap_every=1,
+                 adapt_until=0, adapt_interval=100):
     """Wrap a single-chain sweep into a chain-batched parallel-tempering
     step ``pt_step(state, it_hint) -> state``.
 
@@ -103,6 +130,14 @@ def make_pt_step(sweep_fn, cfg, Y_fixed, n_temps, swap_every=1):
     ``swap_every`` sweeps) one round of adjacent replica exchange.  Use
     with driver.make_scan_runner(multi_chain=False) — the chain axis is
     handled here.
+
+    With ``adapt_until > 0`` and ``state.acc_swap`` present, the ladder
+    spacings adapt every ``adapt_interval`` sweeps while
+    ``it < adapt_until`` (the estimators pass their tune window),
+    equalising per-pair swap acceptance with the ladder endpoints fixed.
+    The ladder freezes afterwards, so post-tune samples come from a
+    time-homogeneous kernel — exactly the contract of the existing MH
+    step-size adaptation.
     """
     if cfg.n_control is not None:
         raise ValueError('parallel tempering with the case-control '
@@ -132,16 +167,35 @@ def make_pt_step(sweep_fn, cfg, Y_fixed, n_temps, swap_every=1):
         accept = jnp.logical_and(partner != idx, log_u < delta)
         perm = jnp.where(accept, partner, idx)
 
-        return type(state)(*[
+        state = type(state)(*[
             (leaf if (leaf is None or name not in _SWAP_FIELDS)
              else jax.tree.map(lambda x: x[perm], leaf))
             for name, leaf in zip(state._fields, state)])
+        if state.acc_swap is not None:
+            head = jnp.logical_and(accept, partner == idx + 1)
+            state = state._replace(
+                acc_swap=state.acc_swap + head.astype(state.acc_swap.dtype))
+        return state
+
+    def adapt(state, it0):
+        # each pair is a phase head once per 2 swap rounds
+        n_attempts = adapt_interval / (2.0 * swap_every)
+        temper = _adapt_ladder(state.temper, state.acc_swap, n_temps,
+                               n_attempts)
+        return state._replace(temper=temper,
+                              acc_swap=jnp.zeros_like(state.acc_swap))
 
     def pt_step(state, it_hint=None):
         it0 = (jnp.reshape(state.it, (-1,))[0] if it_hint is None
                else jnp.reshape(jnp.asarray(it_hint), (-1,))[0])
         state = step(state, it0)
         do = ((it0 + 1) % swap_every) == 0
-        return jax.lax.cond(do, lambda s: swap(s, it0), lambda s: s, state)
+        state = jax.lax.cond(do, lambda s: swap(s, it0), lambda s: s, state)
+        if adapt_until > 0 and state.acc_swap is not None:
+            do_adapt = jnp.logical_and(it0 < adapt_until,
+                                       ((it0 + 1) % adapt_interval) == 0)
+            state = jax.lax.cond(do_adapt, lambda s: adapt(s, it0),
+                                 lambda s: s, state)
+        return state
 
     return pt_step

@@ -85,22 +85,32 @@ def setup_tempering(sweep, cfg, Y_fixed_dev, n_chains, n_temps, beta_min,
     from ..mcmc.tempering import temper_ladder, make_pt_step
     betas = temper_ladder(int(n_temps), float(beta_min),
                           n_ladders=n_chains)
-    state = state._replace(temper=jnp.asarray(betas))
+    state = state._replace(temper=jnp.asarray(betas),
+                           acc_swap=jnp.zeros(betas.shape[0], DTYPE))
     step = make_pt_step(sweep, cfg, Y_fixed_dev, int(n_temps),
-                        swap_every=int(swap_every))
+                        swap_every=int(swap_every),
+                        adapt_until=int(cfg.tune or 0),
+                        adapt_interval=int(cfg.tune_interval))
     return step, False, state
 
 
 def strip_hot_slots(state, traces, n_temps):
     """Keep only the cold (beta = 1) slots of a tempered run: slot 0 of
     each ladder block.  Posterior attributes, MAP selection, and
-    missing-dyad averages must come from the cold chains only."""
+    missing-dyad averages must come from the cold chains only.
+
+    Returns ``(cold_state, cold_traces, ladder)`` where ``ladder`` is the
+    final (possibly tune-adapted) full inverse-temperature array, or None
+    for untempered runs.
+    """
     if n_temps is None or int(n_temps) <= 1:
-        return state, traces
+        return state, traces, None
     k = int(n_temps)
+    ladder = (np.asarray(state.temper) if state.temper is not None
+              else None)
     state = jax.tree.map(lambda v: v[::k], state)
     traces = jax.tree.map(lambda v: v[:, ::k], traces)
-    return state, traces
+    return state, traces, ladder
 
 
 def chain_traces_to_numpy(traces, n_chains):

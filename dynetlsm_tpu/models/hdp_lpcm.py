@@ -341,7 +341,8 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
                                        progress=_progress(self.verbose),
                                        mesh=mesh)
         self.state_sharding_ = getattr(state.X, 'sharding', None)
-        state, traces = strip_hot_slots(state, traces, self.n_temps)
+        state, traces, self.temper_ladder_ = strip_hot_slots(
+            state, traces, self.n_temps)
         self._final_state = jax.tree.map(np.asarray, state)
 
         tr = chain_traces_to_numpy(traces, self.n_chains)

@@ -106,6 +106,24 @@ def test_ladder_and_partners():
     assert not np.array_equal(np.asarray(s.key[0]), np.asarray(s.key[1]))
 
 
+def test_ladder_adaptation_unit():
+    """High-acceptance pairs widen, low-acceptance pairs narrow; the
+    ladder endpoints (1, beta_min) stay fixed per block."""
+    from dynetlsm_tpu.mcmc.tempering import _adapt_ladder
+    betas = np.asarray(temper_ladder(4, 0.1, n_ladders=2))
+    acc = jnp.asarray(np.tile([10.0, 5.0, 0.0, 0.0], 2))   # heads 0,1,2
+    new = np.asarray(_adapt_ladder(jnp.asarray(betas), acc, 4,
+                                   n_attempts=10.0))
+    for blk in (new[:4], new[4:]):
+        assert np.isclose(blk[0], 1.0) and np.isclose(blk[3], 0.1,
+                                                      rtol=1e-5)
+        assert np.all(np.diff(blk) < 0)
+    s_old = -np.diff(np.log(betas[:4]))
+    s_new = -np.diff(np.log(new[:4]))
+    assert s_new[0] > s_old[0]          # acceptance 1.0 pair widens
+    assert s_new[2] < s_old[2]          # acceptance 0.0 pair narrows
+
+
 def test_estimator_n_temps():
     """Public-API integration: a tempered fit runs the PT step, keeps only
     the cold slots in traces/attributes, and produces a sane fit."""
@@ -113,13 +131,18 @@ def test_estimator_n_temps():
     from dynetlsm_tpu.datasets import load_monks
     Y, _, _ = load_monks(is_directed=False)
 
-    m = DynamicNetworkLSM(n_iter=40, tune=40, burn=40, n_chains=2,
-                          n_temps=3, beta_min=0.2,
+    m = DynamicNetworkLSM(n_iter=40, tune=40, burn=40, tune_interval=20,
+                          n_chains=2, n_temps=3, beta_min=0.2,
                           random_state=5).fit(Y)
     assert m.Xs_.shape[0] == 2                       # cold chains only
     assert m.logps_.shape[0] == 2
     assert np.isfinite(m.logps_).all()
     assert m.auc_ > 0.5
+    # the final (tune-adapted) ladder is exposed, endpoints fixed
+    ladder = m.temper_ladder_.reshape(2, 3)
+    assert np.allclose(ladder[:, 0], 1.0)
+    assert np.allclose(ladder[:, -1], 0.2, rtol=1e-5)
+    assert np.all(np.diff(ladder, axis=1) < 0)
 
     h = DynamicNetworkHDPLPCM(n_iter=30, tune=30, burn=30, n_components=6,
                               n_chains=1, n_temps=2, beta_min=0.3,
