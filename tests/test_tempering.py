@@ -187,6 +187,54 @@ def test_pt_swap_preserves_distribution():
     assert np.all(np.abs(z) < 4.5), f'block z-scores {z}'
 
 
+@pytest.mark.slow
+def test_pt_hdp_joint_distribution():
+    """Tempered HDP-LPCM ladders: cold slots must match the iid joint.
+    Exercises likelihood-only tempering against the full mixture sweep —
+    FFBS labels, CRF auxiliaries, and conjugate blocks are untempered by
+    design (they do not see Y), and a mistakenly tempered prior-side
+    block would shift the cold marginal."""
+    import tests.test_geweke_joint as g
+    from dynetlsm_tpu.mcmc.sweeps import make_hdp_sweep
+
+    rng = np.random.RandomState(17)
+    mc = g._hdp_stats_np(g._hdp_prior_draws(rng, 30000))
+
+    cfg = SweepConfig(sample_missing=True, tune=0, n_burn=NEVER_BURN,
+                      n_components=g.K, a=g.A_SIGMA,
+                      lambda_prior=g.LAMBDA_MEAN,
+                      lambda_variance_prior=g.LAMBDA_VAR,
+                      a0=None, c0=None, table_cap=N_NODES,
+                      sample_concentrations=False,
+                      intercept_variance_prior=g.B_VAR, center=False)
+    miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
+    sweep = make_hdp_sweep(None, miss, np.array([g.B_MEAN], np.float32),
+                           cfg)
+    NT, NB, NSW = 4, 10, 2500
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[g._hdp_chain_state(rng) for _ in range(NT * NB)])
+    states = states._replace(
+        temper=jnp.asarray(temper_ladder(NT, 0.25, NB)))
+    pt = make_pt_step(sweep, cfg, None, NT, swap_every=1)
+
+    @jax.jit
+    def go(s0):
+        return jax.lax.scan(
+            lambda s, _: (lambda q: (q, jax.vmap(g._hdp_stats_jax)(q)))(
+                pt(s)),
+            s0, None, length=NSW)[1]
+    sc = np.asarray(go(states), np.float64)              # (N, C, S)
+
+    cold_blocks = sc[:, ::NT, :].mean(0)                 # (NB, S)
+    gm = cold_blocks.mean(0)
+    se = cold_blocks.std(0, ddof=1) / np.sqrt(NB)
+    mc_mean = mc.mean(0)
+    mc_se = mc.std(0, ddof=1) / np.sqrt(mc.shape[0])
+    z = (gm - mc_mean) / np.sqrt(se**2 + mc_se**2)
+    assert np.all(np.abs(z) < 4.5), f'cold-slot block z-scores {z}'
+
+
 def test_pt_samples_metastable_joint():
     """In the hard regime, the cold (beta = 1) slots of real ladders must
     (a) match the iid joint within honest block SEs and (b) estimate the
