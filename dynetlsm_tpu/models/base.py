@@ -43,16 +43,28 @@ def to_device_f32(x):
 
 
 def resolve_fit_mesh(n_chains, n_nodes, node_devices, devices,
-                     latent_update):
+                     latent_update, n_temps=1):
     """Pick the fit mesh.
 
     Default: 1-D ``chains`` mesh (data-parallel chains, no collectives).
     With ``node_devices > 1``: 2-D ``('chains', 'nodes')`` mesh sharding the
     node axis inside each chain — for networks whose (T, n, n) tensors
     outgrow one chip.  Returns ``(mesh or None, spatial flag)``.
+
+    Validated here — before any expensive initialisation work — because
+    both knobs are constructor state: ``n_temps > 1`` (parallel
+    tempering) cannot combine with ``node_devices > 1``; the
+    replica-exchange gather permutes the chain axis, which conflicts
+    with the 2-D spatial mesh.
     """
     from ..mcmc.driver import auto_mesh, spatial_auto_mesh
     if node_devices and node_devices > 1:
+        if n_temps and int(n_temps) > 1:
+            raise ValueError(
+                'n_temps > 1 (parallel tempering) is not supported '
+                'together with node_devices > 1: the replica-exchange '
+                'gather permutes the chain axis, which conflicts with '
+                'the 2-D spatial mesh')
         if latent_update not in ('parallel', 'mala'):
             raise ValueError(
                 "node_devices > 1 shards the node axis across devices; the "
@@ -65,7 +77,7 @@ def resolve_fit_mesh(n_chains, n_nodes, node_devices, devices,
 
 
 def setup_tempering(sweep, cfg, Y_fixed_dev, n_chains, n_temps, beta_min,
-                    swap_every, state, spatial):
+                    swap_every, state):
     """Attach per-slot inverse-temperature ladders and wrap the sweep for
     replica exchange (``n_temps > 1``).
 
@@ -77,11 +89,6 @@ def setup_tempering(sweep, cfg, Y_fixed_dev, n_chains, n_temps, beta_min,
     """
     if n_temps is None or int(n_temps) <= 1:
         return sweep, True, state
-    if spatial:
-        raise ValueError(
-            'n_temps > 1 (parallel tempering) is not supported together '
-            'with node_devices > 1: the replica-exchange gather permutes '
-            'the chain axis, which conflicts with the 2-D spatial mesh')
     from ..mcmc.tempering import temper_ladder, make_pt_step
     betas = temper_ladder(int(n_temps), float(beta_min),
                           n_ladders=n_chains)
@@ -94,23 +101,37 @@ def setup_tempering(sweep, cfg, Y_fixed_dev, n_chains, n_temps, beta_min,
     return step, False, state
 
 
-def strip_hot_slots(state, traces, n_temps):
-    """Keep only the cold (beta = 1) slots of a tempered run: slot 0 of
-    each ladder block.  Posterior attributes, MAP selection, and
-    missing-dyad averages must come from the cold chains only.
+def cold_slot_trace_fn(trace_fn, n_temps):
+    """Record traces from the cold (beta = 1) slots only: slot 0 of each
+    ladder block.  Applied INSIDE the scan runner so hot-slot samples are
+    never buffered on device nor copied to host (with n_temps = 10 that
+    is 10x less trace memory and transfer)."""
+    if n_temps is None or int(n_temps) <= 1:
+        return trace_fn
+    k = int(n_temps)
 
-    Returns ``(cold_state, cold_traces, ladder)`` where ``ladder`` is the
-    final (possibly tune-adapted) full inverse-temperature array, or None
-    for untempered runs.
+    def cold(state):
+        return trace_fn(jax.tree.map(lambda v: v[::k], state))
+
+    return cold
+
+
+def strip_hot_slots(state, n_temps):
+    """Keep only the cold (beta = 1) slots of the final state.  Posterior
+    attributes, MAP selection, and missing-dyad averages must come from
+    the cold chains only (traces are already cold-only via
+    :func:`cold_slot_trace_fn`).
+
+    Returns ``(cold_state, ladder)`` where ``ladder`` is the final
+    (possibly tune-adapted) full inverse-temperature array, or None for
+    untempered runs.
     """
     if n_temps is None or int(n_temps) <= 1:
-        return state, traces, None
+        return state, None
     k = int(n_temps)
     ladder = (np.asarray(state.temper) if state.temper is not None
               else None)
-    state = jax.tree.map(lambda v: v[::k], state)
-    traces = jax.tree.map(lambda v: v[:, ::k], traces)
-    return state, traces, ladder
+    return jax.tree.map(lambda v: v[::k], state), ladder
 
 
 def chain_traces_to_numpy(traces, n_chains):

@@ -24,7 +24,7 @@ from ..ops.distances import pairwise_distances
 from .base import (
     validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
     build_case_control, init_cc_dict, resolve_n_control, resolve_fit_mesh,
-    setup_tempering, strip_hot_slots)
+    setup_tempering, strip_hot_slots, cold_slot_trace_fn)
 from .mixture_base import MixtureModelMixin, init_from_lsm, resolve_hyperpriors
 
 __all__ = ['DynamicNetworkHDPLPCM']
@@ -165,7 +165,8 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
         mesh, spatial = resolve_fit_mesh(n_slots, n,
                                          self.node_devices,
                                          self.devices,
-                                         self.latent_update)
+                                         self.latent_update,
+                                         n_temps=self.n_temps)
 
         # ---- nested LSM init + kmeans (reference hdp_lpcm.py:48-141)
         emb, Y_fit = init_from_lsm(
@@ -310,7 +311,7 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
                                 jax.random.PRNGKey(rng.randint(0, 2**31 - 1)))
         step_fn, multi_chain, state = setup_tempering(
             sweep, cfg, None if sample_missing else Y_dev, self.n_chains,
-            self.n_temps, self.beta_min, self.swap_every, state, spatial)
+            self.n_temps, self.beta_min, self.swap_every, state)
         if mesh is not None:
             state = (shard_state_spatial(state, mesh) if spatial
                      else shard_state(state, mesh))
@@ -327,7 +328,10 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
             return out
 
         thin = self.thin or 1
-        runner = make_scan_runner(step_fn, trace_fn, thin=thin,
+        runner = make_scan_runner(step_fn,
+                                  cold_slot_trace_fn(trace_fn,
+                                                     self.n_temps),
+                                  thin=thin,
                                   chunk=self.trace_chunk,
                                   multi_chain=multi_chain,
                                   state_shardings=(
@@ -341,8 +345,8 @@ class DynamicNetworkHDPLPCM(MixtureModelMixin):
                                        progress=_progress(self.verbose),
                                        mesh=mesh)
         self.state_sharding_ = getattr(state.X, 'sharding', None)
-        state, traces, self.temper_ladder_ = strip_hot_slots(
-            state, traces, self.n_temps)
+        state, self.temper_ladder_ = strip_hot_slots(state,
+                                                     self.n_temps)
         self._final_state = jax.tree.map(np.asarray, state)
 
         tr = chain_traces_to_numpy(traces, self.n_chains)

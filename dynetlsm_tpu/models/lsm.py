@@ -34,7 +34,7 @@ from ..ops.likelihoods import (
 from .base import (
     validate_network, to_device_f32, chain_traces_to_numpy, total_iterations,
     build_case_control, init_cc_dict, resolve_n_control, resolve_fit_mesh,
-    setup_tempering, strip_hot_slots)
+    setup_tempering, strip_hot_slots, cold_slot_trace_fn)
 
 __all__ = ['DynamicNetworkLSM']
 
@@ -176,7 +176,8 @@ class DynamicNetworkLSM:
         mesh, spatial = resolve_fit_mesh(n_slots, n,
                                          self.node_devices,
                                          self.devices,
-                                         self.latent_update)
+                                         self.latent_update,
+                                         n_temps=self.n_temps)
 
         if sample_missing:
             self.Y_fit_ = SimpleNetworkImputerLocal(Y)
@@ -280,7 +281,7 @@ class DynamicNetworkLSM:
                                 jax.random.PRNGKey(rng.randint(0, 2**31 - 1)))
         step_fn, multi_chain, state = setup_tempering(
             sweep, cfg, None if sample_missing else Y_dev, self.n_chains,
-            self.n_temps, self.beta_min, self.swap_every, state, spatial)
+            self.n_temps, self.beta_min, self.swap_every, state)
         if mesh is not None:
             state = (shard_state_spatial(state, mesh) if spatial
                      else shard_state(state, mesh))
@@ -292,7 +293,10 @@ class DynamicNetworkLSM:
                 out['radii'] = s.radii
             return out
 
-        runner = make_scan_runner(step_fn, trace_fn, chunk=self.trace_chunk,
+        runner = make_scan_runner(step_fn,
+                                  cold_slot_trace_fn(trace_fn,
+                                                     self.n_temps),
+                                  chunk=self.trace_chunk,
                                   multi_chain=multi_chain,
                                   state_shardings=(
                                       state_shardings_of(state)
@@ -304,8 +308,8 @@ class DynamicNetworkLSM:
                                        progress=_progress(self.verbose),
                                        mesh=mesh)
         self.state_sharding_ = getattr(state.X, 'sharding', None)
-        state, traces, self.temper_ladder_ = strip_hot_slots(
-            state, traces, self.n_temps)
+        state, self.temper_ladder_ = strip_hot_slots(state,
+                                                     self.n_temps)
         self._final_state = jax.tree.map(np.asarray, state)
 
         # ---- assemble reference-style traces (sample 0 = the init draw)

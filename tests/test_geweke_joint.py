@@ -222,14 +222,15 @@ D_BVAR = 0.25
 D_TAU_SQ, D_SIGMA_SQ = 0.01, 0.0025
 
 
-def _directed_prior_draws(rng, M):
-    b_in = B_IN + np.sqrt(D_BVAR) * rng.randn(M)
-    b_out = B_OUT + np.sqrt(D_BVAR) * rng.randn(M)
+def _directed_prior_draws(rng, M, tau_sq=D_TAU_SQ, sigma_sq=D_SIGMA_SQ,
+                          b_var=D_BVAR, b_in_mean=B_IN, b_out_mean=B_OUT):
+    b_in = b_in_mean + np.sqrt(b_var) * rng.randn(M)
+    b_out = b_out_mean + np.sqrt(b_var) * rng.randn(M)
     radii = rng.dirichlet(np.ones(N_NODES), size=M)         # (M, n)
     X = np.zeros((M, T, N_NODES, D))
-    X[:, 0] = np.sqrt(D_TAU_SQ) * rng.randn(M, N_NODES, D)
+    X[:, 0] = np.sqrt(tau_sq) * rng.randn(M, N_NODES, D)
     for t in range(1, T):
-        X[:, t] = X[:, t - 1] + np.sqrt(D_SIGMA_SQ) * rng.randn(
+        X[:, t] = X[:, t - 1] + np.sqrt(sigma_sq) * rng.randn(
             M, N_NODES, D)
     D_ = np.linalg.norm(X[:, :, :, None, :] - X[:, :, None, :, :], axis=-1)
     eta = (b_in[:, None, None, None]
@@ -273,8 +274,8 @@ def _directed_stats_jax(s):
     ])
 
 
-def _directed_chain_state(rng):
-    b_in, b_out, radii, X, Y = _directed_prior_draws(rng, 1)
+def _directed_chain_state(rng, step_X=0.1, step_int=0.4, **draw_kwargs):
+    b_in, b_out, radii, X, Y = _directed_prior_draws(rng, 1, **draw_kwargs)
     f32 = lambda a: jnp.asarray(a[0], jnp.float32)  # noqa: E731
     X0 = f32(X)
     intercept = jnp.asarray([b_in[0], b_out[0]], jnp.float32)
@@ -282,9 +283,9 @@ def _directed_chain_state(rng):
         key=jax.random.PRNGKey(rng.randint(2**31)),
         it=jnp.zeros((), jnp.int32), X=X0,
         intercept=intercept, radii=f32(radii), Y=f32(Y),
-        step_X=jnp.full((T, N_NODES), 0.1, jnp.float32),
+        step_X=jnp.full((T, N_NODES), step_X, jnp.float32),
         acc_X=jnp.zeros((T, N_NODES), jnp.float32),
-        step_int=jnp.full((2,), 0.4, jnp.float32),
+        step_int=jnp.full((2,), step_int, jnp.float32),
         acc_int=jnp.zeros((2,), jnp.float32),
         step_radii=jnp.asarray(100.0, jnp.float32),
         acc_radii=jnp.zeros((), jnp.float32),

@@ -10,7 +10,6 @@ estimators like Geyer's; block SEs don't care).
 """
 import numpy as np
 import pytest
-import scipy.special
 
 import jax
 import jax.numpy as jnp
@@ -30,47 +29,18 @@ from tests.test_geweke_joint import (
 # the (intercepts, Y) joint near-bimodal; single-site Gibbs has
 # autocorrelation times of tens of thousands of sweeps here
 # (tests/test_geweke_joint.py's directed section documents the
-# measurement) — the regime parallel tempering exists for.
-H_TAU_SQ, H_SIGMA_SQ, H_BVAR = 2.0, 0.3, 1.0
-H_B_IN, H_B_OUT = 1.0, 0.8
+# measurement) — the regime parallel tempering exists for.  Reuses the
+# Geweke suite's generative helpers at the hard scales.
+HARD = dict(tau_sq=2.0, sigma_sq=0.3, b_var=1.0,
+            b_in_mean=1.0, b_out_mean=0.8)
 
 
 def _hard_draws(rng, M):
-    b_in = H_B_IN + np.sqrt(H_BVAR) * rng.randn(M)
-    b_out = H_B_OUT + np.sqrt(H_BVAR) * rng.randn(M)
-    radii = rng.dirichlet(np.ones(N_NODES), size=M)
-    X = np.zeros((M, T, N_NODES, D))
-    X[:, 0] = np.sqrt(H_TAU_SQ) * rng.randn(M, N_NODES, D)
-    for t in range(1, T):
-        X[:, t] = X[:, t - 1] + np.sqrt(H_SIGMA_SQ) * rng.randn(
-            M, N_NODES, D)
-    D_ = np.linalg.norm(X[:, :, :, None, :] - X[:, :, None, :, :], axis=-1)
-    eta = (b_in[:, None, None, None] * (1 - D_ / radii[:, None, None, :])
-           + b_out[:, None, None, None] * (1 - D_ / radii[:, None, :, None]))
-    P = scipy.special.expit(eta)
-    Y = ((rng.uniform(size=P.shape) < P) & _OFFD).astype(np.float64)
-    return b_in, b_out, radii, X, Y
+    return _directed_prior_draws(rng, M, **HARD)
 
 
 def _hard_chain_state(rng):
-    b_in, b_out, radii, X, Y = _hard_draws(rng, 1)
-    f32 = lambda a: jnp.asarray(a[0], jnp.float32)  # noqa: E731
-    X0 = f32(X)
-    b = jnp.asarray([b_in[0], b_out[0]], jnp.float32)
-    return LSMState(
-        key=jax.random.PRNGKey(rng.randint(2**31)),
-        it=jnp.zeros((), jnp.int32), X=X0, intercept=b, radii=f32(radii),
-        Y=f32(Y),
-        step_X=jnp.full((T, N_NODES), 0.8, jnp.float32),
-        acc_X=jnp.zeros((T, N_NODES), jnp.float32),
-        step_int=jnp.full((2,), 0.5, jnp.float32),
-        acc_int=jnp.zeros((2,), jnp.float32),
-        step_radii=jnp.asarray(100.0, jnp.float32),
-        acc_radii=jnp.zeros((), jnp.float32),
-        logp=jnp.zeros(()), logp_map=jnp.asarray(-1e30), X_map=X0,
-        intercept_map=b, radii_map=f32(radii),
-        logp_ref=jnp.asarray(-1e30), X_ref=X0,
-        missing_sum=jnp.zeros((T, N_NODES, N_NODES), jnp.float32))
+    return _directed_chain_state(rng, step_X=0.8, step_int=0.5, **HARD)
 
 
 def _scan_stats(step_fn, states, n_sweeps):
@@ -244,13 +214,16 @@ def test_pt_samples_metastable_joint():
     mc = _directed_stats_np(_hard_draws(rng, 30000))
 
     cfg = SweepConfig(is_directed=True, sample_missing=True, tune=0,
-                      n_burn=NEVER_BURN, tau_sq=H_TAU_SQ,
-                      sigma_sq=H_SIGMA_SQ,
-                      intercept_variance_prior=H_BVAR, tune_radii=False,
+                      n_burn=NEVER_BURN, tau_sq=HARD['tau_sq'],
+                      sigma_sq=HARD['sigma_sq'],
+                      intercept_variance_prior=HARD['b_var'],
+                      tune_radii=False,
                       center=False)
     miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
     sweep = make_lsm_sweep(None, miss,
-                           np.array([H_B_IN, H_B_OUT], np.float32), cfg)
+                           np.array([HARD['b_in_mean'],
+                                     HARD['b_out_mean']], np.float32),
+                           cfg)
     NT, NB, NSW = 10, 8, 4000
     betas = temper_ladder(NT, 0.02, NB)
     states = jax.tree.map(
