@@ -858,8 +858,8 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     # inside the kernel); only the position field and params are
     # VMEM-resident operands
     in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_adj
-                + [pl.BlockSpec(memory_space=pltpu.ANY)] * 8)
+                + [pl.BlockSpec(memory_space=pl.ANY)] * n_adj
+                + [pl.BlockSpec(memory_space=pl.ANY)] * 8)
     scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * n_adj
                + [pltpu.VMEM((Th, 8, n_pad), jnp.float32)] * n_adj
                + [pltpu.SemaphoreType.DMA((n_adj, 2))]
