@@ -165,6 +165,19 @@ def _refresh_controls(cfg, key, state, Y, it_hint=None):
                         lambda _: (state.ctrl_in, state.ctrl_out), None)
 
 
+def build_cc_dict(cfg, Y, cc_static, ctrl_in, ctrl_out):
+    """Assemble the case-control structure dict consumed by the likelihood
+    kernels: the (possibly per-sweep rebuilt) edge lists plus the control
+    index tensors.  Single source of truth for both the in-sweep
+    structures and the initial-sample logp (models/base.init_cc_dict), so
+    ``logps_`` is one consistent estimator throughout."""
+    lists = (edge_lists_device(Y, cc_static['max_deg'])
+             if cfg.sample_missing else cc_static)
+    cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+    cc.pop('max_deg', None)
+    return cc
+
+
 def _cc_structures(cfg, key, state, Y, cc_static, it_hint=None):
     """Per-sweep case-control structures: refreshed control sets plus —
     when missing dyads are being resampled so the edge structure drifts —
@@ -172,11 +185,8 @@ def _cc_structures(cfg, key, state, Y, cc_static, it_hint=None):
     (reference MissingDirectedCaseControlSampler,
     case_control_likelihood.py:115-186)."""
     ctrl_in, ctrl_out = _refresh_controls(cfg, key, state, Y, it_hint)
-    lists = (edge_lists_device(Y, cc_static['max_deg'])
-             if cfg.sample_missing else cc_static)
-    cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
-    cc.pop('max_deg', None)
-    return cc, ctrl_in, ctrl_out
+    return (build_cc_dict(cfg, Y, cc_static, ctrl_in, ctrl_out),
+            ctrl_in, ctrl_out)
 
 
 def _resample_missing(cfg, key, Y, dist, intercept, radii, miss_mask,

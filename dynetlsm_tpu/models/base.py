@@ -192,12 +192,8 @@ def init_cc_dict(cfg, Y_dev, cc_static, ctrl0):
     """
     if cc_static is None:
         return None
-    from ..ops.case_control import edge_lists_device
-    lists = (edge_lists_device(Y_dev, cc_static['max_deg'])
-             if cfg.sample_missing else cc_static)
-    cc = dict(lists, ctrl_in=ctrl0[0], ctrl_out=ctrl0[1])
-    cc.pop('max_deg', None)
-    return cc
+    from ..mcmc.sweeps import build_cc_dict
+    return build_cc_dict(cfg, Y_dev, cc_static, ctrl0[0], ctrl0[1])
 
 
 def resolve_n_control(n_control, n_nodes):

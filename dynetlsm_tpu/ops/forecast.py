@@ -111,8 +111,9 @@ def _pp_forecast_step(u, eps, x_last, active, z_last, trans, mu, sigma,
     # crossed together with their preceding active column, so the count is
     # the *original* cluster index.  Clamping u below the row total keeps a
     # roundoff tail (u > cdf[-1]) on the last active cluster instead of
-    # falling onto a possibly-inactive K-1.
-    u = jnp.minimum(u, cdf[:, -1] * (1.0 - 1e-6))
+    # falling onto a possibly-inactive K-1; the lower clamp keeps u == 0.0
+    # (uniform draws include 0) off a zero-mass cluster-0 prefix.
+    u = jnp.clip(u, 1e-12, cdf[:, -1] * (1.0 - 1e-6))
     zt = jnp.sum((u[:, None] > cdf).astype(jnp.int32), axis=1)
     mean = lmbda * mu[zt] + (1.0 - lmbda) * x_last
     xt = sigma[zt][:, None] * eps + mean

@@ -78,8 +78,8 @@ def benchmark_single(n_iter=10_000, burn=2_500, tune=2_500,
     if model_type == 'hdp_lpcm':
         model = DynamicNetworkHDPLPCM(
             n_iter=n_iter, burn=burn, tune=tune, tune_interval=1000,
-            is_directed=False, selection_type='vi', n_components=10,
-            random_state=random_state).fit(Y_obs)
+            is_directed=False, selection_type=selection_type,
+            n_components=10, random_state=random_state).fit(Y_obs)
     else:
         model = DynamicNetworkLPCM(
             n_iter=n_iter, burn=burn, tune=tune, tune_interval=1000,
