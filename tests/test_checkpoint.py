@@ -141,3 +141,45 @@ def test_checkpoint_fingerprint_mismatch_restarts(tmp_path):
     _, tr = collect_traces(runner, jnp.zeros(3), 8, chunk=4,
                            checkpoint_dir=ck)
     assert list(np.asarray(tr['v'])) == list(range(1, 9))
+
+
+def test_tempered_checkpoint_resume(tmp_path, monkeypatch):
+    """Tempered fits checkpoint the full ladder state (temper, acc_swap)
+    and resume bit-exactly, including mid-tune ladder adaptation."""
+    Y, _ = simple_splitting_dynamic_network(n_nodes=16, n_time_steps=2,
+                                            random_state=7)
+    ckpt = str(tmp_path / 'pt_ckpt')
+    kw = dict(n_iter=40, tune=30, burn=30, tune_interval=10, random_state=5,
+              trace_chunk=25, n_temps=3, beta_min=0.25)
+
+    full = DynamicNetworkLSM(**kw).fit(Y)
+
+    orig = drv.collect_traces
+
+    class Stop(Exception):
+        pass
+
+    calls = {'chunks': 0}
+
+    def failing_collect(runner, state, n_samples, chunk=512, progress=None,
+                        checkpoint_dir=None, mesh=None):
+        def counting_progress(done, total):
+            calls['chunks'] += 1
+            if calls['chunks'] == 2:
+                raise Stop()
+        return orig(runner, state, n_samples, chunk=chunk,
+                    progress=counting_progress,
+                    checkpoint_dir=checkpoint_dir, mesh=mesh)
+
+    import dynetlsm_tpu.models.lsm as lsm_mod
+    monkeypatch.setattr(lsm_mod, 'collect_traces', failing_collect)
+    with pytest.raises(Stop):
+        DynamicNetworkLSM(checkpoint_dir=ckpt, **kw).fit(Y)
+    monkeypatch.setattr(lsm_mod, 'collect_traces', orig)
+
+    resumed = DynamicNetworkLSM(checkpoint_dir=ckpt, **kw).fit(Y)
+    np.testing.assert_allclose(resumed.Xs_, full.Xs_, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(resumed.logps_, full.logps_, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(resumed.temper_ladder_, full.temper_ladder_,
+                               rtol=1e-6)
