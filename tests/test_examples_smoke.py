@@ -47,12 +47,32 @@ def test_simulation_scripts_importable():
         import homogeneous_simulation as hom
         import inhomogeneous_simulation as inhom
         import detection_limit as det
+        import parallel_tempering as pt
     finally:
         sys.path.remove(EXAMPLES)
     assert callable(hom.benchmark_single)
     assert callable(inhom.benchmark_single)
     assert hasattr(det, '__file__')
+    assert callable(pt.run)
+    assert pt.make_hard_directed_network(random_state=1).shape == (3, 24, 24)
     # the generators the studies depend on produce the fit/forecast split
     from dynetlsm_tpu.datasets import homogeneous_simulation as gen
     Y = gen(n_time_steps=3, n_nodes=30, random_state=1)[0]
     assert Y.shape == (3, 30, 30)
+
+
+@pytest.mark.slow
+def test_parallel_tempering_demo():
+    """The tempering demo's headline claim at a reduced budget: the
+    cold-chain means agree more tightly than the same slot budget spent
+    on independent chains in the metastable regime."""
+    sys.path.insert(0, EXAMPLES)
+    try:
+        from parallel_tempering import run
+    finally:
+        sys.path.remove(EXAMPLES)
+    b_plain, b_pt, ladder = run(n_iter=400, tune=150, burn=150)
+    assert b_plain.shape == (8,) and b_pt.shape == (2,)
+    assert np.isfinite(b_plain).all() and np.isfinite(b_pt).all()
+    assert b_pt.std() < b_plain.std()
+    assert ladder.shape == (8,) and np.allclose(ladder[::4], 1.0)
