@@ -102,6 +102,15 @@ def _parallel_site_update(key, Y, X, intercept, step_size, radii, tau_sq,
     slightly perturbed Markov kernel (each site's acceptance ignores the
     other sites' concurrent moves).  Opt-in via latent_update='parallel';
     posterior agreement is validated empirically on Sampson (see tests).
+
+    Measured perturbation (Geweke joint-distribution harness, T=3, n=8,
+    ~52% acceptance): the temporal-smoothness moment E|X_{t+1}-X_t|^2 is
+    inflated ~9% (stale temporal neighbours make simultaneous moves look
+    locally uncorrelated), with other prior moments drifting ~2 SE.  The
+    perturbation shrinks with the step size; functionals tested in the
+    Sampson equivalence suite (intercept, logp, labels) stay within MCMC
+    error.  Use 'exact' (default) or 'mala' (also exact, gradient-based)
+    when temporal-dynamics posteriors matter.
     """
     T, n, d = X.shape
     k_eps, k_u = jax.random.split(key)
