@@ -340,6 +340,16 @@ class DynamicNetworkLSM:
                     [np.broadcast_to(radii, (c, 1) + radii.shape),
                      tr['radii'].astype(np.float64)], axis=1)
 
+        # ---- multichain convergence diagnostics on the log joint
+        # (mirrors the mixture models' logp_rhat_/logp_effective_n_)
+        if self.n_chains > 1:
+            from ..diagnostics import (
+                potential_scale_reduction, multichain_effective_n)
+            post = self.logps_[:, self.n_burn_:]
+            if post.shape[1] > 2:
+                self.logp_rhat_ = potential_scale_reduction(post)
+                self.logp_effective_n_ = multichain_effective_n(post)
+
         # ---- MAP estimates from the tracked maxima (lsm.py:547-566)
         fs = self._final_state
         best_chain = int(np.argmax(fs.logp_map))

@@ -43,6 +43,9 @@ def test_lsm_multichain():
     assert model.Xs_.shape == (4, 120, 2, 16, 2)
     assert model.logps_.shape == (4, 120)
     assert model.X_.shape == (2, 16, 2)
+    # multichain convergence diagnostics (mixture-model parity)
+    assert np.isfinite(model.logp_rhat_) and model.logp_rhat_ > 0.9
+    assert 0 < model.logp_effective_n_ <= 4 * 120
 
 
 def test_lsm_missing_dyads():
