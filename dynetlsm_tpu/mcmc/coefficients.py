@@ -88,17 +88,19 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
     Returns (new, accepted (2,), loglik_new).
     """
     keys = jax.random.split(key, 4)
-    tb = 1.0 if temper is None else temper
 
     def logprior(b, prior_idx):
         return -(b - prior_mean[prior_idx]) ** 2 / (2.0 * prior_var)
+
+    def tempered(delta_ll):
+        return delta_ll if temper is None else temper * delta_ll
 
     # intercept_in: both candidates in one fused pass
     prop_in = intercept[0] + step_size[0] * jax.random.normal(keys[0])
     ll_cur, ll_prop = _directed_loglik_pair(
         Y, dist, X, radii, (intercept[0], intercept[1]),
         (prop_in, intercept[1]), cc)
-    ratio = (tb * (ll_prop - ll_cur)
+    ratio = (tempered(ll_prop - ll_cur)
              + logprior(prop_in, 0) - logprior(intercept[0], 0))
     acc_in = random_walk_accept(keys[1], ratio)
     b_in = jnp.where(acc_in, prop_in, intercept[0])
@@ -108,7 +110,7 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
     # likelihood is the accepted value from the previous step)
     prop_out = intercept[1] + step_size[1] * jax.random.normal(keys[2])
     ll_prop_out = _directed_loglik(Y, dist, X, radii, b_in, prop_out, cc)
-    ratio = (tb * (ll_prop_out - ll_in)
+    ratio = (tempered(ll_prop_out - ll_in)
              + logprior(prop_out, 1) - logprior(intercept[1], 1))
     acc_out = random_walk_accept(keys[3], ratio)
     b_out = jnp.where(acc_out, prop_out, intercept[1])
