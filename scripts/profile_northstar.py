@@ -68,6 +68,21 @@ def main():
     step = jax.jit(jax.vmap(sweep))
     results['full sweep'] = timeit(step, state)
 
+    # parallel-tempering step at the same slot count (vmapped sweep +
+    # replica exchange; the delta over 'full sweep' is the swap's dense
+    # net-loglik pass + gathers, plus the XLA fallback of the X update)
+    if n_chains % 8 == 0:
+        from dynetlsm_tpu.mcmc.tempering import temper_ladder, make_pt_step
+        from dynetlsm_tpu.mcmc.sweeps import SweepConfig
+        state_pt = state._replace(
+            temper=jnp.asarray(temper_ladder(8, 0.1, n_chains // 8)))
+        # net_ll dispatch only needs the undirected/fixed-Y switches; the
+        # sweep itself still carries bench's full config
+        pt = make_pt_step(sweep, SweepConfig(n_components=K), Yd, 8,
+                          swap_every=1)
+        results['PT step (8-rung ladders)'] = timeit(
+            jax.jit(pt), state_pt)
+
     # X update (exact scan)
     def x_exact(s):
         return sample_latent_positions(
