@@ -68,10 +68,13 @@ def temper_ladder(n_temps, beta_min=0.1, n_ladders=1, dtype=jnp.float32):
 
 def replicate_tempered(state0, betas, key):
     """Broadcast a single-chain state across the ladder slots and attach
-    the inverse temperatures (cf. driver.replicate_state)."""
+    the inverse temperatures (cf. driver.replicate_state).  Also zeroes
+    the per-pair swap-acceptance accumulator so ladder adaptation works
+    out of the box when the PT step is built with ``adapt_until > 0``."""
     betas = jnp.asarray(betas)
     state = replicate_state(state0, betas.shape[0], key)
-    return state._replace(temper=betas)
+    return state._replace(temper=betas,
+                          acc_swap=jnp.zeros(betas.shape[0], betas.dtype))
 
 
 def _swap_partners(n_chains, n_temps):
