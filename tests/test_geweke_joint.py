@@ -204,6 +204,38 @@ def test_lsm_mala_joint_distribution():
     assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
 
 
+def test_lsm_case_control_joint_distribution():
+    """Geweke test with the case-control likelihood active (m = n//2
+    controls, per-sweep cadence, in-device edge-list rebuild because
+    every dyad is missing).  At this scale the subsampling estimator's
+    kernel perturbation is below detection — and the harness exercises
+    the full cc machinery (Gumbel top-k control draws, padded edge
+    lists, cadence gating) inside the strongest correctness check."""
+    from dynetlsm_tpu.models.base import build_case_control
+    rng = np.random.RandomState(7)
+    mc = _stats_np(*_lsm_prior_draws(rng, N_MC))
+
+    cfg = SweepConfig(sample_missing=True, tune=0, n_burn=NEVER_BURN,
+                      tau_sq=TAU_SQ, sigma_sq=SIGMA_SQ,
+                      intercept_variance_prior=B_VAR, center=False,
+                      n_control=N_NODES // 2, n_resample_control=1)
+    miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
+    chains = [_lsm_chain_state(rng) for _ in range(N_CHAINS)]
+    Y0_host = np.asarray(chains[0].Y)
+    cc_static, ctrl0 = build_case_control(
+        cfg, jnp.asarray(Y0_host), Y0_host, rng,
+        miss_mask=np.asarray(miss))
+    sweep = make_lsm_sweep(None, miss, np.array([B_MEAN], np.float32),
+                           cfg, cc_static=cc_static)
+    chains = [c._replace(ctrl_in=ctrl0[0], ctrl_out=ctrl0[1])
+              for c in chains]
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *chains)
+    sc = _run_chains(sweep, states,
+                     lambda s: _stats_jax(s.intercept, s.X, s.Y))
+    z = _compare(mc, sc)
+    assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
+
+
 def test_lsm_geweke_has_power(lsm_geweke_samples):
     """The comparison must notice a genuinely different joint: iid draws
     with an inflated innovation variance shift the temporal-smoothness
