@@ -378,6 +378,41 @@ def test_directed_lsm_joint_distribution(directed_geweke_samples):
     assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
 
 
+def test_directed_case_control_joint_distribution():
+    """Directed case-control machinery through the Geweke harness, with
+    the control set covering every non-edge (m = n-1): the estimator is
+    then essentially exact and the joint must match.  (At m = n/2 the
+    fixed-subsample approximation leaves a small detectable perturbation
+    — z ~ 5.5 on the temporal-smoothness moment at this scale, measured
+    at 6000 sweeps — the same trade the reference's estimator makes;
+    this test pins the machinery, not the approximation.)"""
+    from dynetlsm_tpu.models.base import build_case_control
+    rng = np.random.RandomState(23)
+    mc = _directed_stats_np(_directed_prior_draws(rng, N_MC))
+
+    cfg = SweepConfig(is_directed=True, sample_missing=True, tune=0,
+                      n_burn=NEVER_BURN, tau_sq=D_TAU_SQ,
+                      sigma_sq=D_SIGMA_SQ,
+                      intercept_variance_prior=D_BVAR, tune_radii=False,
+                      center=False, n_control=N_NODES - 1,
+                      n_resample_control=1)
+    miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
+    chains = [_directed_chain_state(rng) for _ in range(N_CHAINS)]
+    Y0_host = np.asarray(chains[0].Y)
+    cc_static, ctrl0 = build_case_control(
+        cfg, jnp.asarray(Y0_host), Y0_host, rng,
+        miss_mask=np.asarray(miss))
+    sweep = make_lsm_sweep(None, miss,
+                           np.array([B_IN, B_OUT], np.float32),
+                           cfg, cc_static=cc_static)
+    chains = [c._replace(ctrl_in=ctrl0[0], ctrl_out=ctrl0[1])
+              for c in chains]
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *chains)
+    sc = _run_chains(sweep, states, _directed_stats_jax)
+    z = _compare(mc, sc)
+    assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
+
+
 # ---------------------------------------------------------------------------
 # LPCM (FFBS labels + Dirichlet weights + conjugate mu/sigma/lambda blocks)
 # ---------------------------------------------------------------------------
