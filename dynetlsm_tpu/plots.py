@@ -132,7 +132,28 @@ def arrow_patch(x1, x2, source_size, target_size, ax, **kwargs):
 # trace diagnostics
 # ---------------------------------------------------------------------------
 
-def _trace_panel(ax_trace, ax_acf, values, name, n_burn, maxlags, fontsize):
+def _kde_curve(values, n_grid=200):
+    """Gaussian KDE with Scott's-rule bandwidth; returns (grid, density).
+    Degenerate (zero-variance) samples get a single spike bin."""
+    values = np.ravel(values).astype(float)
+    sd = values.std()
+    if sd == 0.0 or len(values) < 2:
+        grid = np.array([values[0] - 0.5, values[0], values[0] + 0.5])
+        return grid, np.array([0.0, 1.0, 0.0])
+    bw = sd * len(values) ** (-1.0 / 5.0)
+    lo, hi = values.min() - 3 * bw, values.max() + 3 * bw
+    grid = np.linspace(lo, hi, n_grid)
+    z = (grid[:, None] - values[None, :]) / bw
+    dens = np.exp(-0.5 * z * z).sum(axis=1) / (len(values) * bw
+                                               * np.sqrt(2 * np.pi))
+    return grid, dens
+
+
+def _trace_panel(ax_trace, ax_kde, ax_acf, values, name, n_burn, maxlags,
+                 fontsize):
+    """One parameter's diagnostics row: trace, marginal posterior density
+    (KDE), autocorrelation — the reference's plot_traces panel set
+    (reference plots.py:175-397, KDE column at :232-236)."""
     values = np.ravel(values)
     ax_trace.plot(values, lw=0.7, color='#333333')
     if n_burn:
@@ -140,6 +161,13 @@ def _trace_panel(ax_trace, ax_acf, values, name, n_burn, maxlags, fontsize):
     ess = effective_n(values[n_burn:], maxlags=maxlags)
     ax_trace.set_ylabel(name, fontsize=fontsize)
     ax_trace.set_title('ESS = %.1f' % ess, fontsize=fontsize, loc='right')
+
+    grid, dens = _kde_curve(values[n_burn:])
+    ax_kde.fill_between(grid, dens, color='#7788aa', alpha=0.4)
+    ax_kde.plot(grid, dens, color='#445577', lw=1.0)
+    ax_kde.axvline(float(np.mean(values[n_burn:])), color='crimson', ls='--',
+                   lw=0.8)
+    ax_kde.set_ylabel('p(%s)' % name, fontsize=fontsize)
 
     rho = autocorrelation(values[n_burn:], maxlags=maxlags)
     ax_acf.bar(np.arange(rho.shape[0]), rho, width=1.0, color='#7788aa')
@@ -174,10 +202,10 @@ def plot_traces_lsm(model, figsize=(10, 6), maxlags=100, fontsize=8):
     else:
         series += [('intercept', intercepts[:, 0])]
 
-    fig, axes = plt.subplots(len(series), 2, figsize=figsize, squeeze=False)
+    fig, axes = plt.subplots(len(series), 3, figsize=figsize, squeeze=False)
     for row, (name, values) in enumerate(series):
-        _trace_panel(axes[row, 0], axes[row, 1], values, name, n_burn,
-                     maxlags, fontsize)
+        _trace_panel(axes[row, 0], axes[row, 1], axes[row, 2], values,
+                     name, n_burn, maxlags, fontsize)
     fig.tight_layout()
     return fig, axes
 
@@ -203,10 +231,10 @@ def plot_traces_hdp_lpcm(model, figsize=(10, 12), maxlags=100, fontsize=8):
                            np.ravel(_first_chain(getattr(model, extra),
                                                  n_chains))))
 
-    fig, axes = plt.subplots(len(series), 2, figsize=figsize, squeeze=False)
+    fig, axes = plt.subplots(len(series), 3, figsize=figsize, squeeze=False)
     for row, (name, values) in enumerate(series):
-        _trace_panel(axes[row, 0], axes[row, 1], values, name, n_burn,
-                     maxlags, fontsize)
+        _trace_panel(axes[row, 0], axes[row, 1], axes[row, 2], values,
+                     name, n_burn, maxlags, fontsize)
     fig.tight_layout()
     return fig, axes
 

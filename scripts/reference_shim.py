@@ -15,13 +15,68 @@ Usage::
     python scripts/reference_shim.py            # LSM + HDP Sampson stats
     python scripts/reference_shim.py lsm        # just the LSM run
 """
+import ctypes
 import json
+import os
+import subprocess
 import sys
+import time
 import types
 
 import numpy as np
 
 REFERENCE_PATH = '/root/reference'
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+# Optional native (C) implementations of the reference's hot Cython kernels
+# (scripts/ref_kernels.c).  The reference runs these loops as compiled
+# Cython; timing it against the pure-NumPy shims would charge it per-call
+# NumPy overhead it does not really pay, so the timing entry points compile
+# and route through C.  Off by default so the statistics-regeneration runs
+# keep their historical bitwise behaviour.
+_NATIVE = {'lib': None}
+
+
+def enable_native_kernels():
+    """Compile scripts/ref_kernels.c (g++ -O3) and route the hot per-node
+    kernels through it.  Returns True on success, False on any failure
+    (the NumPy shims keep working either way)."""
+    if _NATIVE['lib'] is not None:
+        return True
+    src = os.path.join(_HERE, 'ref_kernels.c')
+    so = os.path.join(_HERE, '_ref_kernels.so')
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-o', so, src],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        dbl, lng = ctypes.c_double, ctypes.c_long
+        pd = np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS')
+        pl = np.ctypeslib.ndpointer(np.int64, flags='C_CONTIGUOUS')
+        lib.partial_loglik.restype = dbl
+        lib.partial_loglik.argtypes = [pd, pd, dbl, lng, lng, lng,
+                                       ctypes.c_int]
+        lib.directed_partial_loglik.restype = dbl
+        lib.directed_partial_loglik.argtypes = [pd, pd, pd, dbl, dbl, lng,
+                                                lng, lng, ctypes.c_int]
+        lib.gaussian_likelihood.restype = None
+        lib.gaussian_likelihood.argtypes = [pd, pd, pd, dbl, lng, lng, lng,
+                                            ctypes.c_int, pd]
+        lib.approx_directed_partial_loglik.restype = dbl
+        lib.approx_directed_partial_loglik.argtypes = [
+            pd, pd, dbl, dbl, pl, pl, pl, pl, pl, lng, lng, lng, lng, lng,
+            ctypes.c_int]
+        _NATIVE['lib'] = lib
+        return True
+    except Exception as exc:  # noqa: BLE001 — fall back to NumPy shims
+        print('native kernels unavailable (%s); using NumPy shims' % exc,
+              file=sys.stderr)
+        return False
+
+
+def _c64(a):
+    return np.ascontiguousarray(a, dtype=np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -105,6 +160,14 @@ def compute_gaussian_likelihood(X, mu, sigma, lmbda, normalize=True):
     """gaussian_likelihood_fast.pyx:30-54: (T, K) emission matrix of
     N(X_t ; mean_tk, sigma_k I) with mean_0k = mu_k and
     mean_tk = lmbda mu_k + (1 - lmbda) X_{t-1}."""
+    if _NATIVE['lib'] is not None:
+        X, mu, sigma = _c64(X), _c64(mu), _c64(sigma)
+        T, d = X.shape
+        K = sigma.shape[0]
+        out = np.empty((T, K))
+        _NATIVE['lib'].gaussian_likelihood(X, mu, sigma, float(lmbda), T, K,
+                                           d, int(bool(normalize)), out)
+        return out
     X = np.asarray(X, float)
     mu = np.asarray(mu, float)
     sigma = np.asarray(sigma, float)
@@ -124,6 +187,11 @@ def compute_gaussian_likelihood(X, mu, sigma, lmbda, normalize=True):
 
 def partial_loglikelihood(Y, X, intercept, node_id, squared=False):
     """static_network_fast.pyx:17-44: one node's row of Bernoulli terms."""
+    if _NATIVE['lib'] is not None:
+        Y, X = _c64(Y), _c64(X)
+        return _NATIVE['lib'].partial_loglik(
+            Y, X, float(np.ndarray.item(np.asarray(intercept))),
+            int(node_id), X.shape[0], X.shape[1], int(bool(squared)))
     Y = np.asarray(Y, float)
     X = np.asarray(X, float)
     d2 = np.sum((X - X[node_id]) ** 2, axis=-1)
@@ -180,6 +248,12 @@ def directed_partial_loglikelihood(Y, X, radii, intercept_in, intercept_out,
                                    node_id, squared=False):
     """directed_likelihoods_fast.pyx:46-80: outgoing + incoming terms for
     one node."""
+    if _NATIVE['lib'] is not None:
+        Y, X, radii = _c64(Y), _c64(X), _c64(radii)
+        return _NATIVE['lib'].directed_partial_loglik(
+            Y, X, radii, float(np.ndarray.item(np.asarray(intercept_in))),
+            float(np.ndarray.item(np.asarray(intercept_out))),
+            int(node_id), X.shape[0], X.shape[1], int(bool(squared)))
     Y = np.asarray(Y, float)
     X = np.asarray(X, float)
     radii = np.asarray(radii, float)
@@ -468,6 +542,62 @@ def sampson_directed_lsm_stats():
     }
 
 
+def northstar_timing(n_sweeps=20, T=10, n=500, K=25, directed=False,
+                     n_control=None):
+    """Time the reference HDP-LPCM Gibbs loop at the BASELINE.json
+    north-star scale (T=10, n=500, K=25) on the same synthetic network
+    bench.py uses — the measured denominator for bench.py's north-star
+    ``vs_baseline`` fields.
+
+    The hot kernels run as compiled C (enable_native_kernels) so the rate
+    reflects the reference's Cython-level speed, not NumPy shim overhead.
+    Each tqdm tick of the main ``_fit`` loop (hdp_lpcm.py:823) is
+    timestamped; the per-sweep rate is the median interval, which excludes
+    ``init_sampler``'s nested LSM run, GMDS, and post-loop selection.
+    """
+    enable_native_kernels()
+    ref = load_reference()
+    repo_root = os.path.dirname(_HERE)
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    from bench import northstar_network
+    Y = northstar_network(T=T, n=n, directed=directed)
+
+    import dynetlsm.hdp_lpcm as mod
+    ticks = []
+
+    def timing_tqdm(iterable, **kw):
+        for item in iterable:
+            ticks.append(time.perf_counter())
+            yield item
+        ticks.append(time.perf_counter())
+
+    orig = mod.tqdm
+    mod.tqdm = timing_tqdm
+    try:
+        kwargs = {}
+        if n_control:
+            kwargs['n_control'] = int(n_control)     # directed-only in ref
+            kwargs['n_resample_control'] = 100
+        model = ref.DynamicNetworkHDPLPCM(
+            n_iter=n_sweeps, tune=None, burn=None, n_components=K,
+            is_directed=directed, random_state=42, **kwargs)
+        model.fit(Y)
+    finally:
+        mod.tqdm = orig
+    dts = np.diff(np.asarray(ticks))
+    rate = 1.0 / float(np.median(dts))
+    return {
+        'workload': 'T=%d, n=%d, K=%d, %s%s' % (
+            T, n, K, 'directed' if directed else 'undirected',
+            ', case-control m=%d' % n_control if n_control else ''),
+        'n_sweeps_timed': int(len(dts)),
+        'sweeps_per_sec': round(rate, 4),
+        'median_sweep_seconds': round(float(np.median(dts)), 4),
+        'native_kernels': _NATIVE['lib'] is not None,
+    }
+
+
 if __name__ == '__main__':
     # usage: reference_shim.py [all|lsm|hdp|directed] [n_iter tune burn]
     # (the budget override applies to the HDP run — e.g. ``hdp 20000 5000
@@ -484,4 +614,12 @@ if __name__ == '__main__':
         print(json.dumps(out, indent=2))
     if which in ('all', 'directed'):
         out['sampson_directed_lsm'] = sampson_directed_lsm_stats()
+        print(json.dumps(out, indent=2))
+    if which == 'northstar':
+        # reference_shim.py northstar [n_sweeps] [directed] [cc<M>]
+        n_sweeps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+        cc = [a for a in sys.argv[3:] if a.startswith('cc')]
+        out['northstar_timing'] = northstar_timing(
+            n_sweeps=n_sweeps, directed='directed' in sys.argv[3:],
+            n_control=int(cc[0][2:]) if cc else None)
         print(json.dumps(out, indent=2))

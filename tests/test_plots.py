@@ -26,10 +26,23 @@ def fitted_models():
 
 def test_plot_traces(fitted_models):
     _, _, lsm, lpcm = fitted_models
-    fig, _ = plots.plot_traces(lsm)
+    # trace + marginal-density (KDE) + autocorrelation columns, as in the
+    # reference's plot_traces panels (reference plots.py:175-397)
+    fig, axes = plots.plot_traces(lsm)
+    assert axes.shape[1] == 3
     plt.close(fig)
-    fig, _ = plots.plot_traces(lpcm)
+    fig, axes = plots.plot_traces(lpcm)
+    assert axes.shape[1] == 3
     plt.close(fig)
+
+
+def test_kde_curve_integrates_to_one():
+    rng = np.random.RandomState(0)
+    grid, dens = plots._kde_curve(rng.randn(500))
+    assert abs(np.trapezoid(dens, grid) - 1.0) < 1e-2
+    # degenerate (constant) chains must not divide by zero
+    grid, dens = plots._kde_curve(np.full(10, 3.0))
+    assert np.isfinite(dens).all()
 
 
 def test_plot_latent_space(fitted_models):
