@@ -25,9 +25,19 @@ import numpy as np
 
 BASELINE_SWEEPS_PER_SEC = 17.45  # notebooks/Sampson's Monastery.ipynb cell 4
 
+# Measured same-workload north-star baselines (T=10, n=500, K=25): the
+# reference sampler timed at this exact scale via
+# `python scripts/reference_shim.py northstar 20 [directed]` with its hot
+# Cython kernels replaced by native C equivalents (scripts/ref_kernels.c,
+# parity <= 1e-12), single core; median over 19 main-loop sweeps.  See
+# BASELINE.md.  The reference's ESS(logp)/s is upper-bounded by its sweep
+# rate, so the same denominators are (generously) used for the ESS rows.
+BASELINE_NS_SWEEPS_PER_SEC = 1.148           # undirected, measured r4
+BASELINE_NS_DIRECTED_SWEEPS_PER_SEC = 0.6745  # directed, measured r4
+
 
 def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
-                          table_cap=64, is_directed=False):
+                          table_cap=64, is_directed=False, n_control=None):
     import jax
     import jax.numpy as jnp
     from dynetlsm_tpu.config import DTYPE
@@ -62,13 +72,25 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
     cfg = SweepConfig(is_directed=is_directed, tune=0, tune_interval=100,
                       n_burn=0, n_components=K,
                       a0=36.0, b0=40.0, c0=5.0, d0=2.0, table_cap=table_cap,
-                      tune_radii=is_directed,
+                      tune_radii=is_directed, n_control=n_control,
                       # BENCH_LATENT=mala|parallel compares the alternative
                       # X-update kernels at identical configs
                       latent_update=os.environ.get('BENCH_LATENT', 'exact'))
     Yd = jnp.asarray(Y, DTYPE)
     n_int = 2 if is_directed else 1
-    sweep = make_hdp_sweep(Yd, None, np.zeros(n_int, np.float32), cfg)
+    if n_control is not None:
+        from dynetlsm_tpu.ops.case_control import (
+            build_edge_lists, sample_control_nodes)
+        lists = build_edge_lists(Y)
+        cc_static = {k: jnp.asarray(v) for k, v in lists.items()}
+        ctrl_in, ctrl_out = sample_control_nodes(
+            jax.random.PRNGKey(seed + 7), Yd, n_control,
+            directed=is_directed)
+    else:
+        cc_static = None
+        ctrl_in = ctrl_out = None
+    sweep = make_hdp_sweep(Yd, None, np.zeros(n_int, np.float32), cfg,
+                           cc_static=cc_static)
 
     if is_directed:
         from dynetlsm_tpu.math.init import initialize_radii
@@ -90,7 +112,7 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
         step_radii=jnp.asarray(175000.0, DTYPE) if is_directed else None,
         acc_radii=jnp.zeros((), DTYPE) if is_directed else None,
         logp=jnp.zeros((), DTYPE),
-        missing_sum=None)
+        missing_sum=None, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
     state = replicate_state(s0, n_chains, jax.random.PRNGKey(seed + 1))
     return state, sweep
 
@@ -191,7 +213,7 @@ def run_northstar(chunk):
         'value': round(value, 2),
         'unit': 'sweeps/s x chains (T=10, n=500, K=25, %d chains, 1 chip)'
                 % n_chains,
-        'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2)})
+        'vs_baseline': round(value / BASELINE_NS_SWEEPS_PER_SEC, 2)})
 
 
 def run_ess(chunk):
@@ -224,7 +246,7 @@ def run_ess_northstar(chunk):
         'value': round(value, 2),
         'unit': 'ESS(logp)/s summed over %d chains (T=10, n=500, K=25, '
                 '1 chip)' % n_chains,
-        'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2)})
+        'vs_baseline': round(value / BASELINE_NS_SWEEPS_PER_SEC, 2)})
 
 
 def run_directed(chunk):
@@ -242,7 +264,36 @@ def run_directed(chunk):
         'value': round(value, 2),
         'unit': 'sweeps/s x chains (directed, T=10, n=500, K=25, %d chains, '
                 '1 chip)' % n_chains,
-        'vs_baseline': round(value / BASELINE_SWEEPS_PER_SEC, 2)})
+        'vs_baseline': round(value / BASELINE_NS_DIRECTED_SWEEPS_PER_SEC,
+                             2)})
+
+
+def run_case_control(chunk):
+    """Case-control (O(n*m)) HDP-LPCM throughput: the reference's large-n
+    estimator (case_control_likelihood.py:36-112,
+    directed_likelihoods_fast.pyx:208-270) as gathered-index kernels.
+    Rows: directed + undirected at the north-star n=500, and one directed
+    shape (n=5000) the dense path cannot serve."""
+    m = int(os.environ.get('BENCH_CC_CONTROL', '145'))   # ~n^0.8 at n=500
+    out = []
+    for directed, n, n_chains, label in (
+            (True, 500, 16, 'cc_directed_northstar'),
+            (False, 500, 16, 'cc_undirected_northstar'),
+            (True, 5000, 8, 'cc_directed_n5000')):
+        Y = northstar_network(n=n, directed=directed)
+        state, sweep = build_state_and_sweep(
+            Y, n_chains, K=25, quality_init=False, is_directed=directed,
+            n_control=m)
+        value = measure_sweeps(state, sweep, n_chains, chunk, n_rounds=2)
+        out.append(emit({
+            'metric': 'hdp_lpcm_%s_sweeps_per_sec' % label,
+            'value': round(value, 2),
+            'unit': 'sweeps/s x chains (T=10, n=%d, K=25, m=%d controls, '
+                    '%d chains, 1 chip)' % (n, m, n_chains),
+            'vs_baseline': round(
+                value / (BASELINE_NS_DIRECTED_SWEEPS_PER_SEC if directed
+                         else BASELINE_NS_SWEEPS_PER_SEC), 2)}))
+    return out
 
 
 def main():
@@ -265,6 +316,9 @@ def main():
     if mode == 'directed':
         run_directed(ns_chunk)
         return
+    if mode == 'cc-northstar':
+        run_case_control(ns_chunk)
+        return
 
     # mode == 'all': measure everything; each result prints as it lands
     # (partial evidence survives an external timeout) and the FINAL line —
@@ -273,11 +327,13 @@ def main():
     ns = run_northstar(ns_chunk)
     ess_ns = run_ess_northstar(ns_chunk)
     directed = run_directed(ns_chunk)
+    cc = run_case_control(ns_chunk)
     ess = run_ess(chunk)
     sampson = run_sampson(chunk)
     emit(dict(sampson, extra={'northstar_sweeps': ns,
                               'northstar_ess': ess_ns,
                               'directed_northstar_sweeps': directed,
+                              'case_control': cc,
                               'sampson_ess': ess}))
 
 

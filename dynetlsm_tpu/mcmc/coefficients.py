@@ -86,8 +86,16 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
 
     intercept, step_size, prior_mean : (2,).
     Returns (new, accepted (2,), loglik_new).
+
+    With ``dist=None`` (and no ``cc``) every candidate is scored by the
+    fused directed Pallas evaluator directly from the positions — the
+    (T, n, n) distance tensor is never materialised
+    (ops/pallas_loglik.py directed_loglik_cands_fused).
     """
     keys = jax.random.split(key, 4)
+    fused = cc is None and dist is None
+    if fused:
+        from ..ops.pallas_loglik import directed_loglik_cands_fused
 
     def logprior(b, prior_idx):
         return -(b - prior_mean[prior_idx]) ** 2 / (2.0 * prior_var)
@@ -97,9 +105,16 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
 
     # intercept_in: both candidates in one fused pass
     prop_in = intercept[0] + step_size[0] * jax.random.normal(keys[0])
-    ll_cur, ll_prop = _directed_loglik_pair(
-        Y, dist, X, radii, (intercept[0], intercept[1]),
-        (prop_in, intercept[1]), cc)
+    if fused:
+        ll = directed_loglik_cands_fused(
+            Y, X, jnp.stack([radii, radii]),
+            jnp.stack([jnp.stack([intercept[0], intercept[1]]),
+                       jnp.stack([prop_in, intercept[1]])]))
+        ll_cur, ll_prop = ll[0], ll[1]
+    else:
+        ll_cur, ll_prop = _directed_loglik_pair(
+            Y, dist, X, radii, (intercept[0], intercept[1]),
+            (prop_in, intercept[1]), cc)
     ratio = (tempered(ll_prop - ll_cur)
              + logprior(prop_in, 0) - logprior(intercept[0], 0))
     acc_in = random_walk_accept(keys[1], ratio)
@@ -109,7 +124,12 @@ def sample_intercepts_directed(key, Y, dist, intercept, radii, step_size,
     # intercept_out (sees the updated intercept_in; its current-state
     # likelihood is the accepted value from the previous step)
     prop_out = intercept[1] + step_size[1] * jax.random.normal(keys[2])
-    ll_prop_out = _directed_loglik(Y, dist, X, radii, b_in, prop_out, cc)
+    if fused:
+        ll_prop_out = directed_loglik_cands_fused(
+            Y, X, radii[None], jnp.stack([b_in, prop_out])[None])[0]
+    else:
+        ll_prop_out = _directed_loglik(Y, dist, X, radii, b_in, prop_out,
+                                       cc)
     ratio = (tempered(ll_prop_out - ll_in)
              + logprior(prop_out, 1) - logprior(intercept[1], 1))
     acc_out = random_walk_accept(keys[3], ratio)
@@ -129,10 +149,21 @@ def sample_radii(key, Y, dist, intercept, radii, step_size, X=None, cc=None,
 
     ``loglik_cur`` — the network log-likelihood at the current radii (e.g.
     returned by the intercept sampler) — skips one dense evaluation.
+    With ``dist=None`` (no ``cc``) the proposal is scored by the fused
+    directed Pallas evaluator (see ``sample_intercepts_directed``).
     Returns (new_radii, accepted, loglik_new).
     """
-    def logp(r):
-        return _directed_loglik(Y, dist, X, r, intercept[0], intercept[1], cc)
+    if cc is None and dist is None:
+        from ..ops.pallas_loglik import directed_loglik_cands_fused
+
+        def logp(r):
+            return directed_loglik_cands_fused(
+                Y, X, r[None],
+                jnp.stack([intercept[0], intercept[1]])[None])[0]
+    else:
+        def logp(r):
+            return _directed_loglik(Y, dist, X, r, intercept[0],
+                                    intercept[1], cc)
 
     return dirichlet_metropolis_step(key, radii, logp, step_size,
                                      logp_cur=loglik_cur, temper=temper)

@@ -33,11 +33,20 @@ def _partial_loglik_terms(Y_row, Y_col, X_t, x, radii, r_node,
     diff = X_t - x[:, None, :]
     dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
     if is_directed:
-        # eta for j -> i (node is the sender): b_in (1-d/r_i) + b_out (1-d/r_j)
-        eta_out = (intercept[0] * (1.0 - dist / radii[None, :])
-                   + intercept[1] * (1.0 - dist / r_node))
-        eta_in = (intercept[0] * (1.0 - dist / r_node)
-                  + intercept[1] * (1.0 - dist / radii[None, :]))
+        # eta for j -> i (node is the sender): b_in (1-d/r_i) + b_out
+        # (1-d/r_j), evaluated in hoisted-reciprocal form
+        # eta = (b_in + b_out) - d * (b_in/r_partner + b_out/r_self):
+        # the per-partner divides become per-sweep lane rows, which is how
+        # the Pallas kernel computes it — the op sequence here mirrors the
+        # kernel exactly so the two realise bit-identical accept decisions
+        # (tests/test_pallas_scan.py).
+        both = intercept[0] + intercept[1]
+        u_row = intercept[0] / radii[None, :]
+        v_row = intercept[1] / radii[None, :]
+        p_out = u_row + intercept[1] / r_node
+        p_in = v_row + intercept[0] / r_node
+        eta_out = both - dist * p_out
+        eta_in = both - dist * p_in
         ll = Y_row * eta_out - jax.nn.softplus(eta_out)
         ll += Y_col * eta_in - jax.nn.softplus(eta_in)
         return ll

@@ -113,10 +113,12 @@ class SweepConfig:
 
 
 def _fused_pair_ok(cfg, n):
-    """Whether the intercept MH can use the fused Pallas pair kernel (no
-    materialised distance tensor): undirected, fixed Y, on a real TPU, and
-    large enough that the dense path's HBM traffic matters."""
-    if cfg.is_directed or cfg.sample_missing or cfg.spatial or n < 256:
+    """Whether the coefficient MH blocks can use the fused Pallas
+    evaluators (no materialised distance tensor): fixed Y, on a real TPU,
+    and large enough that the dense path's HBM traffic matters.  Directed
+    models route to the multi-candidate directed kernel
+    (ops/pallas_loglik.py directed_loglik_cands_fused)."""
+    if cfg.sample_missing or cfg.spatial or n < 256:
         return False
     return jax.default_backend() == 'tpu'
 

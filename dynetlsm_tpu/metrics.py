@@ -49,3 +49,59 @@ def variation_of_information(labels_true, labels_pred):
     """VI(z, z') = H(z) + H(z') - 2 I(z, z')."""
     return (entropy(labels_true) + entropy(labels_pred)
             - 2.0 * mutual_info_score(labels_true, labels_pred))
+
+
+def _flat_post_burn(arr, n_burn, n_chains):
+    """Post-burn samples pooled over chains: (S, ...) or (C, S, ...) traces
+    -> (S', ...)."""
+    arr = np.asarray(arr)
+    if n_chains > 1:
+        arr = arr[:, n_burn:].reshape((-1,) + arr.shape[2:])
+    else:
+        arr = arr[n_burn:]
+    return arr
+
+
+def posterior_mean_probas(model, max_samples=2000):
+    """Posterior-mean edge-probability tensor (T, n, n): the Monte-Carlo
+    average of p_ij^(s) over the stored post-burn draws.
+
+    Unlike ``model.probas_`` (the probabilities of the single selected MAP /
+    VI sample, reference lsm.py:290-308), this estimator integrates over
+    the posterior, so it has no single-sample selection variance.  Chains
+    are pooled; at most ``max_samples`` evenly-thinned draws are used.
+    """
+    from scipy.special import expit
+
+    n_chains = getattr(model, 'n_chains', 1)
+    nb = model.n_burn_
+    Xs = _flat_post_burn(model.Xs_, nb, n_chains)        # (S, T, n, d)
+    bs = _flat_post_burn(model.intercepts_, nb, n_chains)
+    step = max(1, Xs.shape[0] // max_samples)
+    Xs, bs = Xs[::step], bs[::step]
+    if model.is_directed:
+        radii = _flat_post_burn(model.radiis_, nb, n_chains)[::step]
+    S, T, n, _ = Xs.shape
+    total = np.zeros((T, n, n))
+    for s in range(S):
+        diff = Xs[s][:, :, None, :] - Xs[s][:, None, :, :]
+        dist = np.sqrt(np.sum(diff * diff, axis=-1))     # (T, n, n)
+        if model.is_directed:
+            r = radii[s]
+            eta = (bs[s][0] * (1.0 - dist / r[None, None, :])
+                   + bs[s][1] * (1.0 - dist / r[None, :, None]))
+        else:
+            eta = bs[s][0] - dist
+        total += expit(eta)
+    probas = total / S
+    for t in range(T):
+        np.fill_diagonal(probas[t], 0.0)
+    return probas
+
+
+def posterior_mean_auc(model, max_samples=2000):
+    """In-sample AUC of :func:`posterior_mean_probas` — the
+    selection-variance-free companion of ``model.auc_``."""
+    return network_auc(model.Y_fit_, posterior_mean_probas(model,
+                                                           max_samples),
+                       is_directed=model.is_directed)

@@ -189,3 +189,227 @@ def undirected_loglik_pair_fused(Y, X, b_cur, b_prop):
     """vmap-aware entry point used by the coefficient sampler on TPU."""
     f = _custom_vmap_pair()
     return f(Y, X, jnp.asarray(b_cur, X.dtype), jnp.asarray(b_prop, X.dtype))
+
+
+# ---------------------------------------------------------------------------
+# directed (social-radii) multi-candidate evaluator
+# ---------------------------------------------------------------------------
+#
+# The directed coefficient block (intercept_in/out MH + radii MH, reference
+# sample_coefficients.py:18-75 and :91-121) evaluates the full directed
+# log-likelihood at several (b_in, b_out, radii) candidates per sweep.  The
+# XLA path materialises the (C, T, n, n) distance tensor in HBM and re-reads
+# it per candidate; this kernel computes distances on the fly and scores up
+# to three candidates against the same tile pass.  Each candidate enters
+# only through its per-node reciprocal rows u_c = b_in_c / r_c and
+# v_c = b_out_c / r_c and the scalar B_c = b_in_c + b_out_c:
+#
+#   eta(i -> j) = b_in (1 - d_ij / r_j) + b_out (1 - d_ij / r_i)
+#               = B_c - d_ij * (u_c[j] + v_c[i])
+#
+# (reference directed_likelihoods_fast.pyx:199-202 in hoisted-reciprocal
+# form — the same evaluation order as ops/pallas_scan.py's directed rows).
+# The adjacency travels packed, p = Y + 2 * Y^T int8, so visiting only the
+# upper-triangular tiles still covers both edge directions of each dyad.
+
+# the directed tile keeps ~10 (C, 128, 128) f32 temporaries live
+_MAX_C_DIR = 8
+
+
+def _dir_tile_kernel(im_ref, jm_ref, b_ref, y_ref, *refs, block, n_cand,
+                     n_real):
+    """One upper-triangular (t, tile_i, tile_j) tile: partial directed
+    log-lik of ``n_cand`` candidates.
+
+    b (C, 128) VMEM: B_c = b_in_c + b_out_c in lane c; y (1, bi, bj) int8
+    PACKED (Y + 2 Y^T); refs: d row + d col position tiles (1, C, bi/bj),
+    then per candidate (u_row, u_col, v_row, v_col) tiles, then the output
+    (1, C, 128) with candidate c's partial in lane c.
+    """
+    n_uv = 4 * n_cand
+    d = (len(refs) - n_uv - 1) // 2
+    xi = [refs[di][0] for di in range(d)]                    # (C, bi)
+    xj = [refs[d + di][0] for di in range(d)]                # (C, bj)
+    uv = refs[2 * d:2 * d + n_uv]
+    out_ref = refs[-1]
+
+    p = y_ref[0].astype(jnp.float32)[None]                   # (1, bi, bj)
+    yt = jnp.floor(p * 0.5)                                  # Y[j, i]
+    y = p - 2.0 * yt                                         # Y[i, j]
+
+    d2 = 0.0
+    for di in range(d):
+        diff = xi[di][:, :, None] - xj[di][:, None, :]       # (C, bi, bj)
+        d2 = d2 + diff * diff
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    # intercepts may be negative, so padded dyads are NOT self-masking the
+    # way the undirected kernel's are (eta = B - dist * s can be +huge):
+    # mask padded rows/cols explicitly
+    bi, bj = block
+    u = pl.program_id(1)
+    ti = im_ref[u]
+    tj = jm_ref[u]
+    rows = ti * bi + jax.lax.broadcasted_iota(jnp.int32, (1, bi, bj), 1)
+    cols = tj * bj + jax.lax.broadcasted_iota(jnp.int32, (1, bi, bj), 2)
+    valid = ((rows != cols) & (rows < n_real)
+             & (cols < n_real)).astype(jnp.float32)
+    # diagonal tiles carry each ordered edge twice ((i, j) as the out term
+    # and (j, i) as the in term)
+    weight = jnp.where(ti == tj, 0.5, 1.0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _BLOCK), 2)
+    parts = 0.0
+    for c in range(n_cand):
+        B = jnp.sum(b_ref[...] * (lane[0] == c).astype(jnp.float32),
+                    axis=1, keepdims=True)[:, :, None]       # (C, 1, 1)
+        u_row, u_col, v_row, v_col = (r[...] for r in uv[4 * c:4 * c + 4])
+        s_out = u_col[:, None, :] + v_row[:, :, None]        # (C, bi, bj)
+        s_in = u_row[:, :, None] + v_col[:, None, :]
+        eta_out = B - dist * s_out                           # edge i -> j
+        eta_in = B - dist * s_in                             # edge j -> i
+        ll = y * eta_out - jax.nn.softplus(eta_out)
+        ll += yt * eta_in - jax.nn.softplus(eta_in)
+        red = jnp.sum(jnp.sum(ll * valid, axis=2, keepdims=True),
+                      axis=1, keepdims=True)                 # (C, 1, 1)
+        parts = parts + red[:, 0, :] * (lane[0] == c).astype(jnp.float32)
+
+    out_ref[0] = weight * parts                              # (C, 128)
+
+
+def _dir_call(Yp_i8, xs, uvs, b_vm, *, T, gi, d, C, n_cand, n_real,
+              interpret):
+    iu, ju = zip(*[(i, j) for i in range(gi) for j in range(i, gi)])
+    n_ut = len(iu)
+    im = jnp.asarray(iu, jnp.int32)
+    jm = jnp.asarray(ju, jnp.int32)
+    in_specs = [pl.BlockSpec((C, _BLOCK), lambda t, u, im, jm: (0, 0)),
+                pl.BlockSpec((1, _BLOCK, _BLOCK),
+                             lambda t, u, im, jm: (t, im[u], jm[u]))]
+    in_specs += [pl.BlockSpec((1, C, _BLOCK),
+                              lambda t, u, im, jm: (t, 0, im[u]))
+                 for _ in range(d)]
+    in_specs += [pl.BlockSpec((1, C, _BLOCK),
+                              lambda t, u, im, jm: (t, 0, jm[u]))
+                 for _ in range(d)]
+    # per candidate: u_row, u_col, v_row, v_col — (C, n_pad) operands
+    for _ in range(n_cand):
+        in_specs += [pl.BlockSpec((C, _BLOCK),
+                                  lambda t, u, im, jm: (0, im[u])),
+                     pl.BlockSpec((C, _BLOCK),
+                                  lambda t, u, im, jm: (0, jm[u])),
+                     pl.BlockSpec((C, _BLOCK),
+                                  lambda t, u, im, jm: (0, im[u])),
+                     pl.BlockSpec((C, _BLOCK),
+                                  lambda t, u, im, jm: (0, jm[u]))]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T, n_ut),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, C, _BLOCK), lambda t, u, im, jm: (t * n_ut + u, 0, 0)),
+    )
+    partials = pl.pallas_call(
+        functools.partial(_dir_tile_kernel, block=(_BLOCK, _BLOCK),
+                          n_cand=n_cand, n_real=n_real),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * n_ut, C, _BLOCK), jnp.float32),
+        interpret=interpret,
+    )(im, jm, b_vm, Yp_i8, *xs, *uvs)
+    return jnp.sum(partials, axis=0)[:, :n_cand]             # (C, n_cand)
+
+
+def directed_loglik_cands_batch(Y, X, radii_cands, b_cands, interpret=False):
+    """Directed log-likelihood of up to three candidates for every chain in
+    one fused pass.
+
+    Y (T, n, n) shared; X (C, T, n, d); radii_cands (C, n_cand, n);
+    b_cands (C, n_cand, 2) as (b_in, b_out).  Returns (C, n_cand).
+    """
+    C, T, n, d = X.shape
+    n_cand = b_cands.shape[1]
+    n_pad = max(-(-n // _BLOCK) * _BLOCK, _BLOCK)
+    pad = n_pad - n
+    gi = n_pad // _BLOCK
+
+    Yp = Y + 2.0 * jnp.swapaxes(Y, -1, -2)
+    Yp_i8 = jnp.pad(Yp, ((0, 0), (0, pad), (0, pad))).astype(jnp.int8)
+
+    def run(Xc, rc, bc):
+        c = Xc.shape[0]
+        xt = [jnp.transpose(Xc[..., di], (1, 0, 2)) for di in range(d)]
+        # padded dyads are masked in-kernel; pad positions with +/-PAD
+        # anyway so their distances stay well away from 0
+        xs = ([jnp.pad(x, ((0, 0), (0, 0), (0, pad)),
+                       constant_values=_PAD_POS) for x in xt]
+              + [jnp.pad(x, ((0, 0), (0, 0), (0, pad)),
+                         constant_values=-_PAD_POS) for x in xt])
+        uvs = []
+        b_vm = 0.0
+        lanes = jnp.arange(_BLOCK)
+        for cd in range(n_cand):
+            r = jnp.pad(rc[:, cd], ((0, 0), (0, pad)), constant_values=1.0)
+            u_c = (bc[:, cd, 0:1] / r).astype(jnp.float32)   # (c, n_pad)
+            v_c = (bc[:, cd, 1:2] / r).astype(jnp.float32)
+            uvs += [u_c, u_c, v_c, v_c]        # row/col views of each
+            b_vm = b_vm + ((bc[:, cd, 0] + bc[:, cd, 1])[:, None]
+                           * (lanes == cd))
+        return _dir_call(Yp_i8, xs, uvs, b_vm.astype(jnp.float32), T=T,
+                         gi=gi, d=d, C=c, n_cand=n_cand, n_real=n,
+                         interpret=interpret)
+
+    if C <= _MAX_C_DIR:
+        out = run(X, radii_cands, b_cands)
+    else:
+        groups = -(-C // _MAX_C_DIR)
+        C_pad = groups * _MAX_C_DIR
+
+        def regroup(a):
+            widths = [(0, 0)] * a.ndim
+            widths[0] = (0, C_pad - C)
+            a = jnp.pad(a, widths)
+            return a.reshape((groups, _MAX_C_DIR) + a.shape[1:])
+
+        out = jax.lax.map(lambda ops: run(*ops),
+                          (regroup(X), regroup(radii_cands),
+                           regroup(b_cands)))
+        out = out.reshape(C_pad, n_cand)[:C]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _custom_vmap_dir():
+    def single(Y, X, radii_cands, b_cands):
+        return directed_loglik_cands_batch(
+            Y, X[None], radii_cands[None], b_cands[None])[0]
+
+    f = jax.custom_batching.custom_vmap(single)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, Y, X, radii_cands, b_cands):
+        if in_batched[0]:
+            out = jax.lax.map(lambda ops: single(*ops),
+                              (Y, X, radii_cands, b_cands))
+        else:
+            def bcast(a, was):
+                return a if was else jnp.broadcast_to(
+                    a[None], (axis_size,) + a.shape)
+            out = directed_loglik_cands_batch(
+                Y, bcast(X, in_batched[1]),
+                bcast(radii_cands, in_batched[2]),
+                bcast(b_cands, in_batched[3]))
+        return out, True
+
+    return f
+
+
+def directed_loglik_cands_fused(Y, X, radii_cands, b_cands):
+    """vmap-aware entry point: directed log-lik of each (b_in, b_out, radii)
+    candidate, fused from positions (no distance tensor).
+
+    Per chain: X (T, n, d), radii_cands (n_cand, n), b_cands (n_cand, 2).
+    Returns (n_cand,).
+    """
+    f = _custom_vmap_dir()
+    return f(Y, X, jnp.asarray(radii_cands, X.dtype),
+             jnp.asarray(b_cands, X.dtype))

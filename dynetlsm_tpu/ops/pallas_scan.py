@@ -46,9 +46,10 @@ _PAD_POS = 1.0e4
 
 def _fullT_adj_bytes(T, n_pad, directed):
     """VMEM footprint of the full-T variant's resident int8 adjacency plus
-    its f32 32-row block stage (doubled when directed: Y and Y^T)."""
-    n_adj = 2 if directed else 1
-    return n_adj * (T * n_pad * n_pad + 32 * n_pad * 8 * 4)
+    its f32 32-row block stage.  Directed costs the same as undirected:
+    Y and Y^T travel packed in one int8 tensor (Y + 2*Y^T)."""
+    del directed
+    return T * n_pad * n_pad + 32 * n_pad * 8 * 4
 
 
 def _use_fullT(T, n_pad, directed=False):
@@ -86,29 +87,32 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
     else:
         th = -(-T // 2)
         t_pad = 2 * (-(-th // 8) * 8)
-        n_adj = 4 if directed else 2
         # double-buffered int8 row blocks (outer dims unpadded: the (32, n)
-        # trailing tile is already aligned) + the 8-row f32 stage
-        y_bytes = n_adj * (2 * th * 32 * n_pad
-                           + th * 8 * n_pad * 4)
+        # trailing tile is already aligned) + the 8-row f32 stage; one
+        # packed stream pair whether directed or not
+        y_bytes = 2 * (2 * th * 32 * n_pad
+                       + th * 8 * n_pad * 4)
         # per-chain double-buffered stream tile scratch: (8d + 8) (th, 128)
         # f32 tiles at d = 2
         scr = 24 * th * 128 * 4
         # with the invariant streams HBM-streamed, the VMEM-resident
         # per-chain state is x/acc plus compiler temporaries: ~10 t_pad-row
         # buffer equivalents time-major (n = 8192 single-chain compiles,
-        # n = 16384 does not)
-        per_chain = 10 * t_pad * n_pad * 4 + scr + (1 << 17)
+        # n = 16384 does not); the directed twin eta_in/eta_out evaluations
+        # keep ~16 equivalents live (n = 8192 directed does NOT compile —
+        # probed round 4 with the packed-adjacency kernel)
+        n_buf = 16 if directed else 10
+        per_chain = n_buf * t_pad * n_pad * 4 + scr + (1 << 17)
         raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
         if raw >= 8:
             # >= 8 chains routes to the chain-major layout (_call_kernel),
             # whose buffers carry no time-axis sublane padding (~10 real
             # time-row buffer equivalents per chain: 48 chains compile at
-            # T=10/n=512, 56 OOM; 16 when directed — the twin
-            # eta_in/eta_out evaluations keep extra temporaries live
-            # (32 directed chains compile in one invocation at T=10/n=512)
-            n_buf = 16 if directed else 10
-            per_chain = n_buf * 2 * th * n_pad * 4 + scr + (1 << 16)
+            # T=10/n=512, 56 OOM).  With the round-4 packed adjacency and
+            # hoisted-reciprocal eta rows the directed kernel's live set
+            # matches the undirected one (48 directed chains compile in one
+            # invocation at T=10/n=512, probed)
+            per_chain = 10 * 2 * th * n_pad * 4 + scr + (1 << 16)
             raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
     if not clamp:
         return raw                 # 0 => not even one chain fits VMEM
@@ -136,9 +140,10 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     tile is DMA'd into a double-buffered VMEM scratch one tile ahead of
     the scan.  epsE holds phase 0's even rows and epsO phase 1's odd rows
     (the other parities of each phase's stream are never consumed) and is
-    pre-multiplied by the step size.  yE/yO (+ytE/ytO) : (Th, n32, n)
-    int8, also HBM-streamed.  Outputs: xE/xO (d, C, Th, n), accE/accO
-    (C, Th, n) — interleaved back to (T, ...) by the caller.
+    pre-multiplied by the step size.  yE/yO : (Th, n32, n) int8, also
+    HBM-streamed; directed rows arrive packed as Y + 2*Y^T and are decoded
+    per row.  Outputs: xE/xO (d, C, Th, n), accE/accO (C, Th, n) —
+    interleaved back to (T, ...) by the caller.
 
     ``c_sublane=True`` selects the chain-major layout (round-3 rework):
     every (C, Th, n) buffer becomes (Th, C, n) (and params (8, C, n)), so
@@ -148,22 +153,12 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     and more at smaller T.  Mathematically identical (the lane axis and
     every reduction are unchanged); the caller picks the layout by C.
     """
-    if directed:
-        (ytE_ref, ytO_ref, epsE_ref, epsO_ref,
-         uE_ref, uO_ref, muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
-         xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
-         blkE_ref, blkO_ref, blkTE_ref, blkTO_ref,
-         stageE_ref, stageO_ref, stageTE_ref, stageTO_ref, sem_ref,
-         epsE_scr, epsO_scr, uE_scr, uO_scr,
-         muzE_scr, muzO_scr, sigzE_scr, sigzO_scr, sem2_ref) = refs
-    else:
-        (epsE_ref, epsO_ref, uE_ref, uO_ref,
-         muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
-         xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
-         blkE_ref, blkO_ref, stageE_ref, stageO_ref, sem_ref,
-         epsE_scr, epsO_scr, uE_scr, uO_scr,
-         muzE_scr, muzO_scr, sigzE_scr, sigzO_scr, sem2_ref) = refs
-        stageTE_ref = stageTO_ref = None
+    (epsE_ref, epsO_ref, uE_ref, uO_ref,
+     muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
+     xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
+     blkE_ref, blkO_ref, stageE_ref, stageO_ref, sem_ref,
+     epsE_scr, epsO_scr, uE_scr, uO_scr,
+     muzE_scr, muzO_scr, sigzE_scr, sigzO_scr, sem2_ref) = refs
 
     if c_sublane:
         d, Th, C, n = xE_ref.shape
@@ -187,16 +182,22 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     if c_sublane:
         b_in = params[0:1]                                    # (1, C, n)
         if directed:
-            b_out = params[1:2]
             radii = params[5:6]                               # (1, C, n)
+            u_row = params[6:7]                               # b_in / r
+            v_row = params[7:8]                               # b_out / r
     else:
         b_in = params[:, 0:1, :]                              # (C, 1, n)
         if directed:
-            b_out = params[:, 1:2, :]
             radii = params[:, 5:6, :]                         # (C, 1, n)
+            u_row = params[:, 6:7, :]
+            v_row = params[:, 7:8, :]
     tau_sq = scalar(2)
     sigma_sq = scalar(3)
     lmbda = scalar(4)
+    if directed:
+        b_in_s = scalar(0)
+        b_out_s = scalar(1)
+        b_both = b_in_s + b_out_s
 
     t_ax = 0 if c_sublane else 1                             # time axis
     m_col = (jax.lax.broadcasted_iota(jnp.int32, (Th, 1, 1), 0)
@@ -272,7 +273,7 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
         fwd = jnp.where(last, 0.0, fwd)
         return back + fwd                                    # (C, Th, 1)
 
-    def loglik_row(x, xq, y_row, yt_row, r_self, mask):
+    def loglik_row(x, xq, y_row, yt_row, p_out, p_in, mask):
         """Sum over partners of the Bernoulli terms at candidate xq (list of
         d (C, Th, 1)); x the parity's field (list of d (C, Th, n)).  Returns
         (C, Th, 1)."""
@@ -282,12 +283,15 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
             d2 = d2 + diff * diff
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
         if directed:
-            # reference directed_likelihoods_fast.pyx:46-80 —
-            # eta for j -> partner: b_in (1 - d/r_partner) + b_out (1 - d/r_j)
-            eta_out = (b_in * (1.0 - dist / radii)
-                       + b_out * (1.0 - dist / r_self))
-            eta_in = (b_in * (1.0 - dist / r_self)
-                      + b_out * (1.0 - dist / radii))
+            # reference directed_likelihoods_fast.pyx:46-80 in
+            # hoisted-reciprocal form: eta for j -> partner =
+            # b_in (1 - d/r_partner) + b_out (1 - d/r_j)
+            # = (b_in + b_out) - d * (b_in/r_partner + b_out/r_j); the
+            # reciprocal rows p_out/p_in are per node step, so each eval
+            # pays one mult instead of two divides per eta (op-for-op the
+            # same sequence as mcmc.latent._partial_loglik_terms)
+            eta_out = b_both - dist * p_out
+            eta_in = b_both - dist * p_in
             ll = y_row * eta_out - jax.nn.softplus(eta_out)
             ll += yt_row * eta_in - jax.nn.softplus(eta_in)
         else:
@@ -310,7 +314,12 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
         def g128(tile):                              # (·, ·, 128) -> (·, ·, 1)
             return jnp.sum(tile * oh128, axis=2, keepdims=True)
 
-        r_self = gather(radii) if directed else None         # (C, 1, 1)
+        if directed:
+            r_self = gather(radii)                           # (C, 1, 1)
+            p_out = u_row + b_out_s / r_self                 # (·, ·, n)
+            p_in = v_row + b_in_s / r_self
+        else:
+            p_out = p_in = None
         if mixture:
             mu_j = [[g128(muz_blk[p][di]) for di in range(d)]
                     for p in (0, 1)]
@@ -333,9 +342,9 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
             x_prop = [xj[di] + eps_j[di] for di in range(d)]
 
             ll_prop = loglik_row(x_self, x_prop, y_rows[parity],
-                                 yt_rows[parity], r_self, mask)
+                                 yt_rows[parity], p_out, p_in, mask)
             ll_cur = loglik_row(x_self, xj, y_rows[parity],
-                                yt_rows[parity], r_self, mask)
+                                yt_rows[parity], p_out, p_in, mask)
             mu_oth = mu_j[1 - parity] if mixture else None
             ratio = (ll_prop - ll_cur
                      + prior_terms(parity, x_prop, xj_oth, mu_j[parity],
@@ -368,10 +377,11 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     # levels — convert the int8 block to an f32 stage (sublane-aligned),
     # take 8-row ref subslices, and statically unroll the final 8 rows
     # (full 32-way unrolling explodes mosaic compile time; value-level
-    # dynamic_slice is unsupported).
-    hbm_refs = (yE_ref, yO_ref) + ((ytE_ref, ytO_ref) if directed else ())
-    dbufs = (blkE_ref, blkO_ref) + ((blkTE_ref, blkTO_ref) if directed
-                                    else ())
+    # dynamic_slice is unsupported).  Directed rows arrive PACKED
+    # (Y + 2*Y^T) and are decoded per row at the node step — one stream
+    # pair instead of round 3's four.
+    hbm_refs = (yE_ref, yO_ref)
+    dbufs = (blkE_ref, blkO_ref)
 
     def dma(i, slot, b):
         return pltpu.make_async_copy(
@@ -410,8 +420,7 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
         for i in range(len(hbm_refs)):
             dma(i, slot, b).wait()
 
-        stages = (stageE_ref, stageO_ref) + ((stageTE_ref, stageTO_ref)
-                                             if directed else ())
+        stages = (stageE_ref, stageO_ref)
 
         # stream tile bookkeeping: g advances every 4 blocks.  At each g
         # boundary wait for tile g's copies (started 4 blocks earlier, or
@@ -456,8 +465,6 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
                                           pl.ds(m * 8, 8), :].astype(f32)
             subE = stageE_ref[...]                           # (Th, 8, n)
             subO = stageO_ref[...]
-            subTE = stageTE_ref[...] if directed else None
-            subTO = stageTO_ref[...] if directed else None
             def row(sub):
                 # adjacency row broadcastable over the chain axis: (1, Th, n)
                 # time-major, (Th, 1, n) chain-major
@@ -465,9 +472,16 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
                 return r[:, None, :] if c_sublane else r[None]
 
             for k in range(8):                               # static unroll
-                y_rows = (row(subE), row(subO))
-                yt_rows = ((row(subTE), row(subTO))
-                           if directed else (None, None))
+                rE, rO = row(subE), row(subO)
+                if directed:
+                    # decode the packed row: p = y + 2*yt, y/yt in {0, 1}
+                    ytE = jnp.floor(rE * 0.5)
+                    ytO = jnp.floor(rO * 0.5)
+                    y_rows = (rE - 2.0 * ytE, rO - 2.0 * ytO)
+                    yt_rows = (ytE, ytO)
+                else:
+                    y_rows = (rE, rO)
+                    yt_rows = (None, None)
                 xs, accs = node_step(j0 + m * 8 + k, jl0 + m * 8 + k,
                                      streams, y_rows, yt_rows, xs, accs)
             return xs, accs
@@ -505,12 +519,8 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
     (62% wasted vector work at T=3) once C >= 8.  Same maths, same lane
     axis (see _node_scan_kernel).
     """
-    if directed:
-        (yt_ref, step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
-         sigz_ref, x_out_ref, acc_out_ref, block_ref, blockT_ref) = refs
-    else:
-        (step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
-         sigz_ref, x_out_ref, acc_out_ref, block_ref) = refs
+    (step_ref, eps0_ref, eps1_ref, u0_ref, u1_ref, muz_ref,
+     sigz_ref, x_out_ref, acc_out_ref, block_ref) = refs
 
     if c_sublane:
         d, T, C, n = x_ref.shape
@@ -533,16 +543,22 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
     if c_sublane:
         b_in = params[0:1]                                    # (1, C, n)
         if directed:
-            b_out = params[1:2]
             radii = params[5:6]
+            u_row = params[6:7]                               # b_in / r
+            v_row = params[7:8]                               # b_out / r
     else:
         b_in = params[:, 0:1, :]                              # (C, 1, n)
         if directed:
-            b_out = params[:, 1:2, :]
             radii = params[:, 5:6, :]                         # (C, 1, n)
+            u_row = params[:, 6:7, :]
+            v_row = params[:, 7:8, :]
     tau_sq = scalar(2)
     sigma_sq = scalar(3)
     lmbda = scalar(4)
+    if directed:
+        b_in_s = scalar(0)
+        b_out_s = scalar(1)
+        b_both = b_in_s + b_out_s
 
     t_ax = 0 if c_sublane else 1                             # time axis
     t_col = (jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
@@ -606,7 +622,7 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
         fwd = jnp.where(t_col == T - 1, 0.0, fwd)
         return back + fwd                                    # (C, T, 1)
 
-    def loglik_row(x, xq, y_row, yt_row, r_self, mask):
+    def loglik_row(x, xq, y_row, yt_row, p_out, p_in, mask):
         """Sum over partners of the Bernoulli terms at candidate xq (list of
         d (C, T, 1)); x the full field (list of d (C, T, n)).  Returns
         (C, T, 1)."""
@@ -616,12 +632,10 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
             d2 = d2 + diff * diff
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
         if directed:
-            # reference directed_likelihoods_fast.pyx:46-80 —
-            # eta for j -> partner: b_in (1 - d/r_partner) + b_out (1 - d/r_j)
-            eta_out = (b_in * (1.0 - dist / radii)
-                       + b_out * (1.0 - dist / r_self))
-            eta_in = (b_in * (1.0 - dist / r_self)
-                      + b_out * (1.0 - dist / radii))
+            # reference directed_likelihoods_fast.pyx:46-80 in
+            # hoisted-reciprocal form (see _node_scan_kernel.loglik_row)
+            eta_out = b_both - dist * p_out
+            eta_in = b_both - dist * p_in
             ll = y_row * eta_out - jax.nn.softplus(eta_out)
             ll += yt_row * eta_in - jax.nn.softplus(eta_in)
         else:
@@ -638,7 +652,12 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
             return jnp.sum(a * onehot, axis=2, keepdims=True)
 
         step_j = gather(step)
-        r_self = gather(radii) if directed else None         # (C, 1, 1)
+        if directed:
+            r_self = gather(radii)                           # (C, 1, 1)
+            p_out = u_row + b_out_s / r_self
+            p_in = v_row + b_in_s / r_self
+        else:
+            p_out = p_in = None
         if mixture:
             mu_j = [gather(muz[di]) for di in range(d)]
             sig_j = gather(sigz)
@@ -652,9 +671,9 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
             u_j = gather(u_phase[phase])
             x_prop = [xj[di] + step_j * eps_j[di] for di in range(d)]
 
-            ll_prop = loglik_row(x, x_prop, y_row, yt_row, r_self, mask)
+            ll_prop = loglik_row(x, x_prop, y_row, yt_row, p_out, p_in, mask)
             if ll_cur is None:
-                ll_cur = loglik_row(x, xj, y_row, yt_row, r_self, mask)
+                ll_cur = loglik_row(x, xj, y_row, yt_row, p_out, p_in, mask)
             ratio = (ll_prop - ll_cur
                      + prior_terms(x_prop, xj, mu_j, sig_j)
                      - prior_terms(xj, xj, mu_j, sig_j))     # (C, T, 1)
@@ -682,14 +701,10 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
         j0 = b * 32
         block_ref[...] = y_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
                                :].astype(f32)
-        if directed:
-            blockT_ref[...] = yt_ref[:, pl.ds(pl.multiple_of(j0, 32), 32),
-                                     :].astype(f32)
 
         def sub_body(m, carry):
             x, acc = carry
             sub = block_ref[:, pl.ds(m * 8, 8), :]           # (T, 8, n)
-            subT = blockT_ref[:, pl.ds(m * 8, 8), :] if directed else None
             def row(sb):
                 # (1, T, n) time-major, (T, 1, n) chain-major
                 r = sb[:, k, :]
@@ -697,7 +712,12 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
 
             for k in range(8):                               # static unroll
                 y_row = row(sub)
-                yt_row = row(subT) if directed else None
+                if directed:
+                    # decode the packed row: p = y + 2*yt (see node_scan_batch)
+                    yt_row = jnp.floor(y_row * 0.5)
+                    y_row = y_row - 2.0 * yt_row
+                else:
+                    yt_row = None
                 x, acc = node_step(j0 + m * 8 + k, y_row, yt_row, x, acc)
             return x, acc
 
@@ -711,7 +731,7 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
     acc_out_ref[...] = acc_fin
 
 
-def _call_kernel_fullT(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
+def _call_kernel_fullT(Y_p, chunk, *, mixture, directed, n_real, interpret):
     x_l, step_p, eps_l, u_l, muz, sigz, params = chunk
     d, C, T, n_pad = x_l.shape
     eps0, eps1 = eps_l[0], eps_l[1]
@@ -732,23 +752,21 @@ def _call_kernel_fullT(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret
         x_shape = (d, C, T, n_pad)
         a_shape = (C, T, n_pad)
 
-    n_in = 11 if directed else 10
+    # directed Y_p arrives packed (Y + 2*Y^T): one adjacency operand and
+    # one block stage either way
     scratch = [pltpu.VMEM((T, 32, n_pad), jnp.float32)]
-    if directed:
-        scratch.append(pltpu.VMEM((T, 32, n_pad), jnp.float32))
-    adj = (Y_p, YT_p) if directed else (Y_p,)
     x_out, acc = pl.pallas_call(
         functools.partial(_node_scan_kernel_fullT, mixture=mixture,
                           directed=directed, n_real=n_real,
                           c_sublane=c_sublane),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct(x_shape, x_l.dtype),
                    jax.ShapeDtypeStruct(a_shape, x_l.dtype)),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(params, x_l, *adj, step_p, eps0, eps1, u0, u1, muz, sigz)
+    )(params, x_l, Y_p, step_p, eps0, eps1, u0, u1, muz, sigz)
     if c_sublane:
         x_out = jnp.transpose(x_out, (0, 2, 1, 3))
         acc = jnp.transpose(acc, (1, 0, 2))
@@ -781,11 +799,11 @@ def _interleave_parity(even, odd, axis, T):
     return out[tuple(idx)]
 
 
-def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
+def _call_kernel(Y_p, chunk, *, mixture, directed, n_real, interpret):
     x_l, step_p, eps_l, u_l, muz, sigz, params = chunk
     d, C, T, n_pad = x_l.shape
     if _use_fullT(T, n_pad, directed):
-        return _call_kernel_fullT(Y_p, YT_p, chunk, mixture=mixture,
+        return _call_kernel_fullT(Y_p, chunk, mixture=mixture,
                                   directed=directed, n_real=n_real,
                                   interpret=interpret)
     Th = -(-T // 2)
@@ -807,12 +825,9 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     if T % 2 == 1:
         sigzO = sigzO.at[:, Th - 1].set(1.0)
 
+    # directed Y_p arrives packed (Y + 2*Y^T): one stream pair either way
     yE, yO = _split_parity(Y_p, 0, T, Th)
-    if directed:
-        ytE, ytO = _split_parity(YT_p, 0, T, Th)
-        adj = (yE, yO, ytE, ytO)
-    else:
-        adj = (yE, yO)
+    adj = (yE, yO)
 
     # chain-major layout (chains on sublanes): no sublane padding of the
     # time axis once C >= 8, versus Th -> 8 padding (37.5% wasted vector
@@ -853,16 +868,15 @@ def _call_kernel(Y_p, YT_p, chunk, *, mixture, directed, n_real, interpret):
     uE, uO, sigzE, sigzO = (blk3(a) for a in (uE, uO, sigzE, sigzO))
     s0, s1 = epsE.shape[2], epsE.shape[3]
 
-    n_adj = 4 if directed else 2
     # adjacency and the invariant streams stay in HBM (streamed by block
     # inside the kernel); only the position field and params are
     # VMEM-resident operands
     in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                + [pl.BlockSpec(memory_space=pl.ANY)] * n_adj
+                + [pl.BlockSpec(memory_space=pl.ANY)] * 2
                 + [pl.BlockSpec(memory_space=pl.ANY)] * 8)
-    scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * n_adj
-               + [pltpu.VMEM((Th, 8, n_pad), jnp.float32)] * n_adj
-               + [pltpu.SemaphoreType.DMA((n_adj, 2))]
+    scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * 2
+               + [pltpu.VMEM((Th, 8, n_pad), jnp.float32)] * 2
+               + [pltpu.SemaphoreType.DMA((2, 2))]
                # stream tile scratch: eps/muz (2, d, s0, s1, 128) x2
                # parities, u/sigz (2, s0, s1, 128) x2 parities
                + [pltpu.VMEM((2, d, s0, s1, 128), jnp.float32)] * 2
@@ -914,9 +928,14 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
     x_l = jnp.pad(jnp.transpose(X, (3, 0, 1, 2)),
                   ((0, 0),) * 3 + ((0, pad),), constant_values=_PAD_POS)
     # adjacency is binary: int8 storage quarters its VMEM footprint, which
-    # bounds how many chains fit per kernel
+    # bounds how many chains fit per kernel.  Directed packs Y and Y^T into
+    # ONE int8 stream (row j of packed = Y[j, :] + 2 * Y[:, j]); the kernel
+    # decodes y = p - 2*floor(p/2), yt = floor(p/2) per row — exact for
+    # values {0..3} — halving the directed adjacency DMA traffic, block
+    # scratch, and stage conversions versus separate Y / Y^T streams.
     Y_p = jnp.pad(Y, ((0, 0), (0, pad), (0, pad))).astype(jnp.int8)
-    YT_p = jnp.swapaxes(Y_p, -1, -2) if directed else None
+    if directed:
+        Y_p = Y_p + 2 * jnp.swapaxes(Y_p, -1, -2)
     step_p = jnp.pad(step_size, ((0, 0),) * 2 + ((0, pad),))
     # eps (C, 2, n, T, d) -> (2, d, C, T, n)
     eps_l = jnp.pad(jnp.transpose(eps, (1, 4, 0, 3, 2)),
@@ -957,7 +976,13 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
             jnp.broadcast_to(sig_arr[:, None], (C, n_pad)),
             jnp.broadcast_to(lam[:, None], (C, n_pad)),
             radii_row]
-    rows += [jnp.zeros((C, n_pad), X.dtype)] * 2             # pad to 8 rows
+    if directed:
+        # hoisted-reciprocal rows (see loglik_row): eta = (b_in + b_out)
+        # - dist * (b_in/r_partner + b_out/r_self); the per-partner divides
+        # happen once per sweep here instead of 4x per node step in-kernel
+        rows += [b_in_row / radii_row, b_out_row / radii_row]
+    else:
+        rows += [jnp.zeros((C, n_pad), X.dtype)] * 2         # pad to 8 rows
     params = jnp.stack(rows, axis=1).astype(X.dtype)         # (C, 8, n_pad)
 
     max_c = _vmem_max_chains(T, n_pad, directed)
@@ -966,7 +991,7 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
                              directed=directed, n_real=n, interpret=interpret)
 
     if C <= max_c:
-        x_out, acc = call(Y_p, YT_p, operands)
+        x_out, acc = call(Y_p, operands)
     else:
         # balance chains across groups: ceil(32/22)=2 groups run 16+16, not
         # 22+22 with 12 dead padded chains of kernel compute
@@ -990,7 +1015,7 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
         def one_group(chunk):
             # regroup() moved the group axis to the front of each operand,
             # so every chunk already has the kernel's layout
-            return call(Y_p, YT_p, chunk)
+            return call(Y_p, chunk)
 
         x_out, acc = jax.lax.map(one_group, xs)
         # x_out (groups, d, chunk_c, T, n) -> (d, C_pad, T, n)

@@ -542,6 +542,73 @@ def sampson_directed_lsm_stats():
     }
 
 
+def _posterior_mean_auc_ref(model, Y, max_samples=2000):
+    """Posterior-mean-probas AUC from the reference model's traces —
+    the same estimator as dynetlsm_tpu.metrics.posterior_mean_auc
+    (undirected: p_ij^(s) = expit(b_s - ||X_si - X_sj||), averaged over
+    post-burn draws)."""
+    from scipy.special import expit
+    from sklearn.metrics import roc_auc_score
+    nb = model.n_burn_
+    Xs = model.Xs_[nb:]
+    bs = np.ravel(model.intercepts_)[nb:]
+    step = max(1, Xs.shape[0] // max_samples)
+    Xs, bs = Xs[::step], bs[::step]
+    T_, n_ = Xs.shape[1], Xs.shape[2]
+    total = np.zeros((T_, n_, n_))
+    for s in range(Xs.shape[0]):
+        diff = Xs[s][:, :, None, :] - Xs[s][:, None, :, :]
+        dist = np.sqrt(np.sum(diff * diff, axis=-1))
+        total += expit(bs[s] - dist)
+    probas = total / Xs.shape[0]
+    iu = np.triu_indices(n_, k=1)
+    y = np.concatenate([np.asarray(Y)[t][iu] for t in range(T_)])
+    p = np.concatenate([probas[t][iu] for t in range(T_)])
+    return roc_auc_score(y, p)
+
+
+def realdata_stats(n_iter=2000, tune=500, burn=500, K=25):
+    """GoT + alliances quality rows at the budget matched by
+    scripts/reproduce_notebooks.py real_data_quality(): in-sample
+    (selected + posterior-mean) AUC, held-out dyad AUC, one-step forecast
+    AUC — the reference package computing each with its own machinery
+    (imputer + missings_ Gibbs trace, forecast.pyx marginal forecast)."""
+    from sklearn.metrics import roc_auc_score
+    ref = load_reference()
+    enable_native_kernels()
+    from dynetlsm.datasets import load_got, load_alliances
+    from dynetlsm.model_selection import train_test_split
+    from dynetlsm.metrics import out_of_sample_auc
+
+    out = {}
+    for name, Y in (('got', load_got()[0]),
+                    ('alliances', load_alliances()[0])):
+        def make():
+            return ref.DynamicNetworkHDPLPCM(
+                n_components=K, n_iter=n_iter, tune=tune, burn=burn,
+                selection_type='vi', random_state=42)
+
+        t0 = time.time()
+        full = make().fit(Y)
+        stats = {
+            'insample_auc': round(float(full.auc_), 4),
+            'posterior_mean_auc': round(_posterior_mean_auc_ref(full, Y),
+                                        4),
+        }
+        Y_obs, test_idx = train_test_split(Y, test_size=0.1, random_state=3)
+        held = make().fit(Y_obs)
+        stats['heldout_auc'] = round(
+            float(out_of_sample_auc(Y, held.missings_, test_idx)), 4)
+        fore = make().fit(Y[:-1])
+        idx = np.tril_indices(Y.shape[1], k=-1)
+        stats['onestep_auc'] = round(float(roc_auc_score(
+            Y[-1][idx], fore.forecast_probas_marginalized_[idx])), 4)
+        stats['wall_clock_s'] = round(time.time() - t0, 1)
+        out[name] = stats
+        print(json.dumps({name: stats}, indent=2), flush=True)
+    return out
+
+
 def northstar_timing(n_sweeps=20, T=10, n=500, K=25, directed=False,
                      n_control=None):
     """Time the reference HDP-LPCM Gibbs loop at the BASELINE.json
@@ -582,7 +649,16 @@ def northstar_timing(n_sweeps=20, T=10, n=500, K=25, directed=False,
         model = ref.DynamicNetworkHDPLPCM(
             n_iter=n_sweeps, tune=None, burn=None, n_components=K,
             is_directed=directed, random_state=42, **kwargs)
-        model.fit(Y)
+        try:
+            model.fit(Y)
+        except Exception as exc:  # noqa: BLE001
+            # post-loop diagnostics can fail on a deliberately tiny run
+            # (e.g. Geweke's Yule-Walker is singular on ~20 logp samples);
+            # the loop ticks are already recorded, which is all we need
+            if len(ticks) < 3:
+                raise
+            print('post-loop failure ignored for timing: %r' % exc,
+                  file=sys.stderr)
     finally:
         mod.tqdm = orig
     dts = np.diff(np.asarray(ticks))
@@ -604,7 +680,8 @@ if __name__ == '__main__':
     # 5000`` regenerates the docs/reproductions.md quality row at a budget
     # matched to the TPU column instead of the 3k test-oracle default)
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
-    budget = [int(v) for v in sys.argv[2:5]] if len(sys.argv) > 2 else []
+    budget = ([int(v) for v in sys.argv[2:5]]
+              if which == 'hdp' and len(sys.argv) > 2 else [])
     out = {}
     if which in ('all', 'lsm'):
         out['sampson_lsm'] = sampson_lsm_stats()
@@ -614,6 +691,9 @@ if __name__ == '__main__':
         print(json.dumps(out, indent=2))
     if which in ('all', 'directed'):
         out['sampson_directed_lsm'] = sampson_directed_lsm_stats()
+        print(json.dumps(out, indent=2))
+    if which == 'realdata':
+        out['realdata'] = realdata_stats()
         print(json.dumps(out, indent=2))
     if which == 'northstar':
         # reference_shim.py northstar [n_sweeps] [directed] [cc<M>]

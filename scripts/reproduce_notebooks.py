@@ -56,6 +56,8 @@ def sampson_monastery():
     print('lambda mean (sd)  : %.4f (%.4f)' % (lam.mean(), lam.std()))
     print('intercept mean (sd): %.4f (%.4f)' % (b.mean(), b.std()))
     print('in-sample AUC     : %.4f' % model.auc_)
+    from dynetlsm_tpu.metrics import posterior_mean_auc
+    print('posterior-mean AUC: %.4f' % posterior_mean_auc(model))
     return total / elapsed
 
 
@@ -96,9 +98,56 @@ def community_splitting():
     return total / t_lsm, total / t_hdp
 
 
+def real_data_quality():
+    """GoT + alliances quality rows at a budget the reference shim can
+    match in reasonable wall-clock (3,000 sweeps per fit): in-sample
+    selected-sample AUC, posterior-mean AUC, held-out dyad AUC (10% of
+    dyads masked), and one-step-ahead forecast AUC (fit on the first T-1
+    steps, scored on step T).  The same-estimator reference figures come
+    from `python scripts/reference_shim.py realdata` (same budgets, same
+    split fraction/seed policy).  Results recorded in
+    docs/reproductions.md."""
+    from sklearn.metrics import roc_auc_score
+    from dynetlsm_tpu import DynamicNetworkHDPLPCM
+    from dynetlsm_tpu.datasets import load_got, load_alliances
+    from dynetlsm_tpu.metrics import posterior_mean_auc, out_of_sample_auc
+    from dynetlsm_tpu.model_selection import train_test_split
+
+    n_iter, tune, burn = it(2_000), it(500), it(500)
+
+    def make():
+        return DynamicNetworkHDPLPCM(
+            n_components=25, n_iter=n_iter, tune=tune, burn=burn,
+            selection_type='vi', random_state=42)
+
+    for name, Y in (('Game of Thrones seasons 1-4', load_got()[0]),
+                    ('military alliances 1950-75', load_alliances()[0])):
+        banner('%s — quality at a %d-sweep budget (T=%d, n=%d)'
+               % (name, n_iter + tune + burn, Y.shape[0], Y.shape[1]))
+        t0 = time.time()
+        full = make().fit(Y)
+        print('in-sample AUC (selected sample): %.4f' % full.auc_)
+        print('posterior-mean AUC             : %.4f'
+              % posterior_mean_auc(full))
+
+        Y_obs, test_idx = train_test_split(Y, test_size=0.1, random_state=3)
+        held = make().fit(Y_obs)
+        print('held-out dyad AUC (10%% masked) : %.4f'
+              % out_of_sample_auc(Y, held.missings_, test_idx))
+
+        fore = make().fit(Y[:-1])
+        idx = np.tril_indices(Y.shape[1], k=-1)
+        one = roc_auc_score(Y[-1][idx],
+                            fore.forecast_probas_marginalized_[idx])
+        print('one-step forecast AUC          : %.4f' % one)
+        print('3 fits in %.1f s' % (time.time() - t0))
+
+
 if __name__ == '__main__':
     r1 = sampson_monastery()
     r2, r3 = community_splitting()
+    if '--realdata' in sys.argv or not QUICK:
+        real_data_quality()
     print('\nSpeedups vs the reference notebook rates (single chain):')
     print('  Sampson HDP-LPCM : %.0fx' % (r1 / 17.45))
     print('  splitting LSM    : %.0fx' % (r2 / 61.22))

@@ -52,6 +52,43 @@ def test_network_auc_perfect():
     assert network_auc(Y, P) == 1.0
 
 
+def test_posterior_mean_probas_single_sample_matches_formula(rng):
+    """With one stored draw the posterior mean IS that draw's probability
+    matrix — checks the undirected and directed (social-radii) formulas."""
+    from scipy.special import expit
+    from dynetlsm_tpu.metrics import posterior_mean_probas
+
+    class Stub:
+        n_chains = 1
+        n_burn_ = 0
+
+    T, n, d = 2, 6, 2
+    X = rng.randn(1, T, n, d)
+    dist = np.sqrt(((X[0][:, :, None] - X[0][:, None]) ** 2).sum(-1))
+
+    m = Stub()
+    m.is_directed = False
+    m.Xs_, m.intercepts_ = X, np.array([[1.3]])
+    expected = expit(1.3 - dist)
+    for t in range(T):
+        np.fill_diagonal(expected[t], 0.0)
+    np.testing.assert_allclose(posterior_mean_probas(m), expected,
+                               rtol=1e-6)
+
+    m = Stub()
+    m.is_directed = True
+    m.Xs_, m.intercepts_ = X, np.array([[0.7, 0.4]])
+    r = rng.dirichlet(np.ones(n))
+    m.radiis_ = r[None]
+    eta = (0.7 * (1 - dist / r[None, None, :])
+           + 0.4 * (1 - dist / r[None, :, None]))
+    expected = expit(eta)
+    for t in range(T):
+        np.fill_diagonal(expected[t], 0.0)
+    np.testing.assert_allclose(posterior_mean_probas(m), expected,
+                               rtol=1e-6)
+
+
 def test_variation_of_information():
     z = np.array([0, 0, 1, 1])
     assert variation_of_information(z, z) == pytest.approx(0.0, abs=1e-12)
