@@ -145,24 +145,20 @@ def _refresh_controls(cfg, key, state, Y, it_hint=None):
     ``it_hint`` is a chain-invariant scalar iteration index supplied by the
     scan runner: with it, the redraw runs under ``lax.cond`` and the
     (T, n, n) Gumbel + top-k work really is skipped on off-cadence sweeps.
-    (The per-chain ``state.it`` cannot be the predicate — vmap over chains
-    would batch it and lower the cond to a select that runs both branches
-    every sweep.)
+    (The per-chain ``state.it`` makes a worse predicate — vmap over chains
+    batches it and lowers the cond to a select that runs both branches
+    every sweep.)  Without a hint the same cond runs on ``state.it``: a
+    direct un-vmapped ``sweep(state)`` caller still gets the real skip,
+    and a vmapped caller degrades to the run-both-branches select rather
+    than an error.
     """
 
     def redraw(_):
         return sample_control_nodes(key, Y, cfg.n_control,
                                     directed=cfg.is_directed)
 
-    if it_hint is None:
-        do = (state.it % cfg.n_resample_control) == 0
-        fresh_in, fresh_out = redraw(None)
-        ctrl_in = (jnp.where(do, fresh_in, state.ctrl_in)
-                   if cfg.is_directed else None)
-        ctrl_out = jnp.where(do, fresh_out, state.ctrl_out)
-        return ctrl_in, ctrl_out
-
-    do = (it_hint % cfg.n_resample_control) == 0
+    it = state.it if it_hint is None else it_hint
+    do = (it % cfg.n_resample_control) == 0
     return jax.lax.cond(do, redraw,
                         lambda _: (state.ctrl_in, state.ctrl_out), None)
 

@@ -576,7 +576,20 @@ def realdata_stats(n_iter=2000, tune=500, burn=500, K=25):
     from sklearn.metrics import roc_auc_score
     ref = load_reference()
     enable_native_kernels()
-    from dynetlsm.datasets import load_got, load_alliances
+    try:
+        from dynetlsm.datasets import load_got, load_alliances
+        load_got()          # probe: fails on pandas >= 2.1 string dtype
+    except TypeError:
+        # the reference's load_got assigns integer codes into a string
+        # column (load_got.py:56), which modern pandas rejects; the repo
+        # loaders ship the same raw_data with the same preprocessing
+        # (datasets/loaders.py), so feed those arrays to the reference
+        # *model* instead
+        os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+        repo_root = os.path.dirname(_HERE)
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from dynetlsm_tpu.datasets import load_got, load_alliances
     from dynetlsm.model_selection import train_test_split
     from dynetlsm.metrics import out_of_sample_auc
 
@@ -693,7 +706,10 @@ if __name__ == '__main__':
         out['sampson_directed_lsm'] = sampson_directed_lsm_stats()
         print(json.dumps(out, indent=2))
     if which == 'realdata':
-        out['realdata'] = realdata_stats()
+        # reference_shim.py realdata [n_iter tune burn] — budgets must
+        # match scripts/reproduce_notebooks.py real_data_quality()
+        rd_budget = [int(v) for v in sys.argv[2:5]]
+        out['realdata'] = realdata_stats(*rd_budget)
         print(json.dumps(out, indent=2))
     if which == 'northstar':
         # reference_shim.py northstar [n_sweeps] [directed] [cc<M>]
