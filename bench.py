@@ -276,10 +276,15 @@ def run_case_control(chunk):
     shape (n=5000) the dense path cannot serve."""
     m = int(os.environ.get('BENCH_CC_CONTROL', '145'))   # ~n^0.8 at n=500
     out = []
+    # the large-n row is capped at n=2048: the dense adjacency is a
+    # closed-over constant of the jitted sweep, and the axon remote-compile
+    # tunnel rejects request bodies past ~100 MB (HTTP 413) — n=5000's
+    # 250 MB int8 Y killed the whole bench run.  n=2048 still demonstrates
+    # the O(n*m) scaling (the dense exact scan is ~1.9 s/sweep there).
     for directed, n, n_chains, label in (
             (True, 500, 16, 'cc_directed_northstar'),
             (False, 500, 16, 'cc_undirected_northstar'),
-            (True, 5000, 8, 'cc_directed_n5000')):
+            (True, 2048, 8, 'cc_directed_n2048')):
         Y = northstar_network(n=n, directed=directed)
         state, sweep = build_state_and_sweep(
             Y, n_chains, K=25, quality_init=False, is_directed=directed,
@@ -323,12 +328,21 @@ def main():
     # mode == 'all': measure everything; each result prints as it lands
     # (partial evidence survives an external timeout) and the FINAL line —
     # the one the driver parses — is the headline Sampson aggregate
-    # carrying the other results in "extra"
-    ns = run_northstar(ns_chunk)
-    ess_ns = run_ess_northstar(ns_chunk)
-    directed = run_directed(ns_chunk)
-    cc = run_case_control(ns_chunk)
-    ess = run_ess(chunk)
+    # carrying the other results in "extra".  Every row is fault-isolated:
+    # one failing workload (e.g. a tunnel compile rejection) must not
+    # swallow the headline and the rows that already ran.
+    def attempt(fn, *args):
+        try:
+            return fn(*args)
+        except Exception as e:                           # noqa: BLE001
+            return emit({'error': '%s: %s' % (fn.__name__,
+                                              str(e).splitlines()[0])})
+
+    ns = attempt(run_northstar, ns_chunk)
+    ess_ns = attempt(run_ess_northstar, ns_chunk)
+    directed = attempt(run_directed, ns_chunk)
+    cc = attempt(run_case_control, ns_chunk)
+    ess = attempt(run_ess, chunk)
     sampson = run_sampson(chunk)
     emit(dict(sampson, extra={'northstar_sweeps': ns,
                               'northstar_ess': ess_ns,

@@ -347,14 +347,17 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     # one fused Pallas kernel (same Markov kernel and proposal stream;
     # ~20x less dispatch overhead at large n).  The adjacency is streamed
     # from HBM, so the kernel applies whenever at least one chain's
-    # position/noise buffers fit VMEM (n up to ~4000 at T=10).  Falls back
+    # position/noise buffers fit VMEM — via the int8 layout to n ~ 8192,
+    # then the stream16 bf16 layout to n ~ 16384 (undirected).  Falls back
     # to the XLA fori_loop on other backends or under case-control.
     n_pad = max(-(-n // 128) * 128, 128)
     if (scheme == 'exact' and cc is None and temper is None
             and jax.default_backend() == 'tpu'):
         from ..ops.pallas_scan import _vmem_max_chains
-        use_pallas = _vmem_max_chains(T, n_pad, is_directed,
-                                      clamp=False) >= 1
+        use_pallas = (
+            _vmem_max_chains(T, n_pad, is_directed, clamp=False) >= 1
+            or _vmem_max_chains(T, n_pad, is_directed, clamp=False,
+                                stream16=True) >= 1)
     else:
         use_pallas = False
     if use_pallas:

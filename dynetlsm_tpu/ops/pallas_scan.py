@@ -43,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PAD_POS = 1.0e4
 
+# test hook: force the stream16 large-n adjacency layout at any shape
+# (see node_scan_batch) so its parity vs the XLA scan can be checked at
+# CPU-interpretable sizes
+_FORCE_STREAM16 = False
+
 
 def _fullT_adj_bytes(T, n_pad, directed):
     """VMEM footprint of the full-T variant's resident int8 adjacency plus
@@ -65,7 +70,7 @@ def _use_fullT(T, n_pad, directed=False):
     return T <= 8 and _fullT_adj_bytes(T, n_pad, directed) < 8 * 2 ** 20
 
 
-def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
+def _vmem_max_chains(T, n_pad, directed=False, clamp=True, stream16=False):
     """How many chains fit one kernel invocation (``clamp=False`` returns
     the raw capacity, which is 0 when not even one chain fits — the
     dispatch gate uses that to fall back to the XLA scan).
@@ -73,6 +78,10 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
     Phase-split variant: the adjacency is streamed from HBM, so the fixed
     VMEM cost is only the double-buffered int8 block scratch plus the f32
     stage per adjacency tensor (2 tensors per parity pair when directed).
+    ``stream16=True`` prices the large-n variant instead: single-buffered
+    16-row bf16 blocks with no f32 stage (see _call_kernel), trading 2x
+    adjacency HBM traffic (bf16 vs int8) for a ~4x smaller fixed footprint
+    — the variant that serves n past the int8 layout's cap.
     Full-T variant (T <= 8): the int8 adjacency is VMEM-resident.  Per
     chain both variants carry ~16 live (C, ·, n) f32 buffers plus a
     ~128 KB fixed stack/spill cost — a two-point fit of the compiler's
@@ -87,32 +96,36 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
     else:
         th = -(-T // 2)
         t_pad = 2 * (-(-th // 8) * 8)
-        # double-buffered int8 row blocks (outer dims unpadded: the (32, n)
-        # trailing tile is already aligned) + the 8-row f32 stage; one
-        # packed stream pair whether directed or not
-        y_bytes = 2 * (2 * th * 32 * n_pad
-                       + th * 8 * n_pad * 4)
+        if stream16:
+            # single-buffered (1, th, 16, n) bf16 block per parity, rows
+            # consumed by static 16-way unroll — no stage buffers at all
+            y_bytes = 2 * th * 16 * n_pad * 2
+        else:
+            # double-buffered int8 row blocks (outer dims unpadded: the
+            # (32, n) trailing tile is already aligned) + the 8-row f32
+            # stage; one packed stream pair whether directed or not
+            y_bytes = 2 * (2 * th * 32 * n_pad
+                           + th * 8 * n_pad * 4)
         # per-chain double-buffered stream tile scratch: (8d + 8) (th, 128)
         # f32 tiles at d = 2
         scr = 24 * th * 128 * 4
-        # with the invariant streams HBM-streamed, the VMEM-resident
-        # per-chain state is x/acc plus compiler temporaries: ~10 t_pad-row
-        # buffer equivalents time-major (n = 8192 single-chain compiles,
-        # n = 16384 does not); the directed twin eta_in/eta_out evaluations
-        # keep ~16 equivalents live (n = 8192 directed does NOT compile —
-        # probed round 4 with the packed-adjacency kernel)
-        n_buf = 16 if directed else 10
+        # with the invariant streams HBM-streamed and the position field
+        # aliased in place (input_output_aliases), the VMEM-resident
+        # per-chain state is x/acc plus compiler temporaries: ~8 t_pad-row
+        # buffer equivalents time-major; the directed twin eta_in/eta_out
+        # evaluations keep ~14 equivalents live (round-4 probes: undirected
+        # n = 16384 single-chain compiles via stream16, directed n = 16384
+        # does not; directed n = 8192 compiles via stream16 only)
+        n_buf = 14 if directed else 8
         per_chain = n_buf * t_pad * n_pad * 4 + scr + (1 << 17)
         raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
         if raw >= 8:
             # >= 8 chains routes to the chain-major layout (_call_kernel),
-            # whose buffers carry no time-axis sublane padding (~10 real
-            # time-row buffer equivalents per chain: 48 chains compile at
-            # T=10/n=512, 56 OOM).  With the round-4 packed adjacency and
-            # hoisted-reciprocal eta rows the directed kernel's live set
-            # matches the undirected one (48 directed chains compile in one
-            # invocation at T=10/n=512, probed)
-            per_chain = 10 * 2 * th * n_pad * 4 + scr + (1 << 16)
+            # whose buffers carry no time-axis sublane padding (~8 real
+            # time-row buffer equivalents per chain with in-place x).  With
+            # the round-4 packed adjacency and hoisted-reciprocal eta rows
+            # the directed kernel's live set matches the undirected one
+            per_chain = 8 * 2 * th * n_pad * 4 + scr + (1 << 16)
             raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
     if not clamp:
         return raw                 # 0 => not even one chain fits VMEM
@@ -120,7 +133,8 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True):
 
 
 def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
-                      mixture, directed, n_real, T_total, c_sublane=False):
+                      mixture, directed, n_real, T_total, c_sublane=False,
+                      stream16=False):
     """Phase-split layout: every per-time tensor is stored as an (even
     times, odd times) pair of (·, C, Th, n) buffers, Th = ceil(T/2).
 
@@ -153,12 +167,23 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     and more at smaller T.  Mathematically identical (the lane axis and
     every reduction are unchanged); the caller picks the layout by C.
     """
-    (epsE_ref, epsO_ref, uE_ref, uO_ref,
-     muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
-     xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
-     blkE_ref, blkO_ref, stageE_ref, stageO_ref, sem_ref,
-     epsE_scr, epsO_scr, uE_scr, uO_scr,
-     muzE_scr, muzO_scr, sigzE_scr, sigzO_scr, sem2_ref) = refs
+    if stream16:
+        # large-n layout: no f32 stage buffers — bf16 rows are sliced
+        # (statically) straight out of the single-buffered block scratch
+        (epsE_ref, epsO_ref, uE_ref, uO_ref,
+         muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
+         xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
+         blkE_ref, blkO_ref, sem_ref,
+         epsE_scr, epsO_scr, uE_scr, uO_scr,
+         muzE_scr, muzO_scr, sigzE_scr, sigzO_scr, sem2_ref) = refs
+        stageE_ref = stageO_ref = None
+    else:
+        (epsE_ref, epsO_ref, uE_ref, uO_ref,
+         muzE_ref, muzO_ref, sigzE_ref, sigzO_ref,
+         xE_out_ref, xO_out_ref, accE_out_ref, accO_out_ref,
+         blkE_ref, blkO_ref, stageE_ref, stageO_ref, sem_ref,
+         epsE_scr, epsO_scr, uE_scr, uO_scr,
+         muzE_scr, muzO_scr, sigzE_scr, sigzO_scr, sem2_ref) = refs
 
     if c_sublane:
         d, Th, C, n = xE_ref.shape
@@ -365,7 +390,7 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     accE0 = jnp.zeros(acc_shape, f32)
     accO0 = jnp.zeros(acc_shape, f32)
     n32 = yE_ref.shape[1]
-    n_blocks = n32 // 32
+    n_blocks = n32 // (16 if stream16 else 32)
 
     # Adjacency row supply (streamed): the int8 adjacency stays in HBM and
     # 32-node row blocks are DMA'd into a double-buffered VMEM scratch one
@@ -380,12 +405,21 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     # dynamic_slice is unsupported).  Directed rows arrive PACKED
     # (Y + 2*Y^T) and are decoded per row at the node step — one stream
     # pair instead of round 3's four.
+    #
+    # stream16 (large-n) variant: the adjacency arrives bf16 and 16-row
+    # blocks (the bf16 sublane-alignment quantum) are DMA'd into a
+    # SINGLE-buffered scratch, rows statically sliced out per node step —
+    # no int8 stage buffers at all.  At the n this variant serves
+    # (> ~8000) a block's 16 node steps cost ~100 us of vector work versus
+    # ~1 us for its copy, so losing the copy/compute overlap is noise,
+    # and the freed VMEM is what lets the position field fit at n = 16384.
     hbm_refs = (yE_ref, yO_ref)
     dbufs = (blkE_ref, blkO_ref)
+    rows_blk = 16 if stream16 else 32
 
     def dma(i, slot, b):
         return pltpu.make_async_copy(
-            hbm_refs[i].at[:, pl.ds(b * 32, 32), :],
+            hbm_refs[i].at[:, pl.ds(b * rows_blk, rows_blk), :],
             dbufs[i].at[slot], sem_ref.at[i, slot])
 
     for i in range(len(hbm_refs)):
@@ -488,10 +522,76 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
 
         return jax.lax.fori_loop(0, 4, sub_body, carry)
 
+    def block_body16(b, carry):
+        """stream16 variant: 16 bf16 rows per block, single-buffered (the
+        next block's copy starts only after this block consumed its rows),
+        statically unrolled — same node_step, same maths."""
+        j0 = b * 16
+        for i in range(len(hbm_refs)):
+            dma(i, 0, b).wait()
+
+        # stream tile bookkeeping: one 128-node tile spans 8 16-row blocks
+        g = b // 8
+        jl0 = j0 - g * 128
+        slot2 = jax.lax.rem(g, 2)
+
+        @pl.when(jax.lax.rem(b, 8) == 0)
+        def _():
+            for s in range(len(stream_hbm)):
+                dma2(s, slot2, g).wait()
+
+        @pl.when(jnp.logical_and(jax.lax.rem(b, 8) == 0, g + 1 < G))
+        def _():
+            for s in range(len(stream_hbm)):
+                dma2(s, 1 - slot2, g + 1).start()
+
+        def blkd(scr):                  # (2, d, ·, ·, 128) -> d tiles
+            return [scr[slot2, di] for di in range(d)]
+
+        eps_blk = (blkd(epsE_scr), blkd(epsO_scr))
+        u_blk = (uE_scr[slot2], uO_scr[slot2])
+        if mixture:
+            muz_blk = (blkd(muzE_scr), blkd(muzO_scr))
+            sigz_blk = (sigzE_scr[slot2], sigzO_scr[slot2])
+        else:
+            muz_blk = sigz_blk = None
+        streams = (eps_blk, u_blk, muz_blk, sigz_blk)
+
+        xs, accs = carry
+
+        def row16(i, k):
+            # static sublane slice straight off the bf16 block ref (one
+            # (Th, n) row live at a time), converted at use
+            r = dbufs[i][0, :, k, :].astype(f32)         # (Th, n)
+            return r[:, None, :] if c_sublane else r[None]
+
+        for k in range(16):                              # static unroll
+            rE, rO = row16(0, k), row16(1, k)
+            if directed:
+                # decode the packed row: p = y + 2*yt, y/yt in {0, 1}
+                ytE = jnp.floor(rE * 0.5)
+                ytO = jnp.floor(rO * 0.5)
+                y_rows = (rE - 2.0 * ytE, rO - 2.0 * ytO)
+                yt_rows = (ytE, ytO)
+            else:
+                y_rows = (rE, rO)
+                yt_rows = (None, None)
+            xs, accs = node_step(j0 + k, jl0 + k, streams,
+                                 y_rows, yt_rows, xs, accs)
+
+        # single buffer: the prefetch of block b+1 may only begin after
+        # this block's 16 rows were read out above
+        @pl.when(b + 1 < n_blocks)
+        def _():
+            for i in range(len(hbm_refs)):
+                dma(i, 0, b + 1).start()
+        return xs, accs
+
     # padded nodes (n_real <= j < n32) are no-ops: their step/eps/log_u are
     # zero-padded so x_prop == x_cur and log_u(=0) < ratio(=0) rejects
     (xE_fin, xO_fin), (accE_fin, accO_fin) = jax.lax.fori_loop(
-        0, n_blocks, block_body, ([xE0, xO0], [accE0, accO0]))
+        0, n_blocks, block_body16 if stream16 else block_body,
+        ([xE0, xO0], [accE0, accO0]))
     for di in range(d):
         xE_out_ref[di] = xE_fin[di]
         xO_out_ref[di] = xO_fin[di]
@@ -765,6 +865,10 @@ def _call_kernel_fullT(Y_p, chunk, *, mixture, directed, n_real, interpret):
         out_shape=(jax.ShapeDtypeStruct(x_shape, x_l.dtype),
                    jax.ShapeDtypeStruct(a_shape, x_l.dtype)),
         scratch_shapes=scratch,
+        # the kernel reads x once (into the fori carry) before its final
+        # write, so the position field updates in place — one VMEM buffer
+        # instead of separate in/out copies per chain
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(params, x_l, Y_p, step_p, eps0, eps1, u0, u1, muz, sigz)
     if c_sublane:
@@ -799,7 +903,8 @@ def _interleave_parity(even, odd, axis, T):
     return out[tuple(idx)]
 
 
-def _call_kernel(Y_p, chunk, *, mixture, directed, n_real, interpret):
+def _call_kernel(Y_p, chunk, *, mixture, directed, n_real, interpret,
+                 stream16=False):
     x_l, step_p, eps_l, u_l, muz, sigz, params = chunk
     d, C, T, n_pad = x_l.shape
     if _use_fullT(T, n_pad, directed):
@@ -874,16 +979,24 @@ def _call_kernel(Y_p, chunk, *, mixture, directed, n_real, interpret):
     in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
                 + [pl.BlockSpec(memory_space=pl.ANY)] * 2
                 + [pl.BlockSpec(memory_space=pl.ANY)] * 8)
-    scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * 2
-               + [pltpu.VMEM((Th, 8, n_pad), jnp.float32)] * 2
-               + [pltpu.SemaphoreType.DMA((2, 2))]
-               # stream tile scratch: eps/muz (2, d, s0, s1, 128) x2
-               # parities, u/sigz (2, s0, s1, 128) x2 parities
-               + [pltpu.VMEM((2, d, s0, s1, 128), jnp.float32)] * 2
-               + [pltpu.VMEM((2, s0, s1, 128), jnp.float32)] * 2
-               + [pltpu.VMEM((2, d, s0, s1, 128), jnp.float32)] * 2
-               + [pltpu.VMEM((2, s0, s1, 128), jnp.float32)] * 2
-               + [pltpu.SemaphoreType.DMA((8, 2))])
+    stream_scr = (
+        # stream tile scratch: eps/muz (2, d, s0, s1, 128) x2
+        # parities, u/sigz (2, s0, s1, 128) x2 parities
+        [pltpu.VMEM((2, d, s0, s1, 128), jnp.float32)] * 2
+        + [pltpu.VMEM((2, s0, s1, 128), jnp.float32)] * 2
+        + [pltpu.VMEM((2, d, s0, s1, 128), jnp.float32)] * 2
+        + [pltpu.VMEM((2, s0, s1, 128), jnp.float32)] * 2
+        + [pltpu.SemaphoreType.DMA((8, 2))])
+    if stream16:
+        # large-n: single-buffered bf16 16-row blocks, no stage buffers
+        scratch = ([pltpu.VMEM((1, Th, 16, n_pad), jnp.bfloat16)] * 2
+                   + [pltpu.SemaphoreType.DMA((2, 1))]
+                   + stream_scr)
+    else:
+        scratch = ([pltpu.VMEM((2, Th, 32, n_pad), jnp.int8)] * 2
+                   + [pltpu.VMEM((Th, 8, n_pad), jnp.float32)] * 2
+                   + [pltpu.SemaphoreType.DMA((2, 2))]
+                   + stream_scr)
     out_shape = (jax.ShapeDtypeStruct(x_shape, x_l.dtype),
                  jax.ShapeDtypeStruct(x_shape, x_l.dtype),
                  jax.ShapeDtypeStruct(a_shape, x_l.dtype),
@@ -891,11 +1004,15 @@ def _call_kernel(Y_p, chunk, *, mixture, directed, n_real, interpret):
     xE_n, xO_n, accE, accO = pl.pallas_call(
         functools.partial(_node_scan_kernel, mixture=mixture,
                           directed=directed, n_real=n_real, T_total=T,
-                          c_sublane=c_sublane),
+                          c_sublane=c_sublane, stream16=stream16),
         in_specs=in_specs,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
         out_shape=out_shape,
         scratch_shapes=scratch,
+        # x is read once (into the fori carry) before the final write: the
+        # parity halves update in place, saving two position-field copies
+        # of per-chain VMEM (the capacity currency of this kernel)
+        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
     )(params, xE, xO, *adj, epsE, epsO, uE, uO, muzE, muzO, sigzE, sigzO)
     if c_sublane:
@@ -924,6 +1041,17 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
     n_pad = max(-(-n // 128) * 128, 128)
     pad = n_pad - n
 
+    # variant selection: once the int8 phase-split layout cannot fit even
+    # one chain (its block/stage scratch plus the position field exceed
+    # VMEM), switch to the stream16 large-n layout — bf16 16-row blocks,
+    # single-buffered, no stage — which serves exact scans to n ~ 16384
+    # (undirected; ~8192 directed).  _FORCE_STREAM16 lets the parity tests
+    # exercise the variant at small n.
+    stream16 = (not _use_fullT(T, n_pad, directed)
+                and (_FORCE_STREAM16
+                     or _vmem_max_chains(T, n_pad, directed,
+                                         clamp=False) < 1))
+
     # (C, T, n, d) -> (d, C, T, n)
     x_l = jnp.pad(jnp.transpose(X, (3, 0, 1, 2)),
                   ((0, 0),) * 3 + ((0, pad),), constant_values=_PAD_POS)
@@ -933,7 +1061,9 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
     # decodes y = p - 2*floor(p/2), yt = floor(p/2) per row — exact for
     # values {0..3} — halving the directed adjacency DMA traffic, block
     # scratch, and stage conversions versus separate Y / Y^T streams.
-    Y_p = jnp.pad(Y, ((0, 0), (0, pad), (0, pad))).astype(jnp.int8)
+    # stream16 keeps the same packing in bf16 (exact for {0..3}).
+    y_dtype = jnp.bfloat16 if stream16 else jnp.int8
+    Y_p = jnp.pad(Y, ((0, 0), (0, pad), (0, pad))).astype(y_dtype)
     if directed:
         Y_p = Y_p + 2 * jnp.swapaxes(Y_p, -1, -2)
     step_p = jnp.pad(step_size, ((0, 0),) * 2 + ((0, pad),))
@@ -985,10 +1115,11 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
         rows += [jnp.zeros((C, n_pad), X.dtype)] * 2         # pad to 8 rows
     params = jnp.stack(rows, axis=1).astype(X.dtype)         # (C, 8, n_pad)
 
-    max_c = _vmem_max_chains(T, n_pad, directed)
+    max_c = _vmem_max_chains(T, n_pad, directed, stream16=stream16)
     operands = (x_l, step_p, eps_l, u_l, muz, sigz, params)
     call = functools.partial(_call_kernel, mixture=mixture,
-                             directed=directed, n_real=n, interpret=interpret)
+                             directed=directed, n_real=n,
+                             interpret=interpret, stream16=stream16)
 
     if C <= max_c:
         x_out, acc = call(Y_p, operands)

@@ -95,9 +95,12 @@ def _install_numpy_aliases():
 
 def _install_sklearn_compat():
     """sklearn >= 1.6 renamed check_array's force_all_finite kwarg; the
-    reference (sklearn ~0.22 era) still passes the old name."""
+    reference (sklearn ~0.22 era) still passes the old name.  Patched in
+    BOTH public locations — the reference's estimators import it from
+    sklearn.utils, its imputer from sklearn.utils.validation."""
     import sklearn.utils as sku
-    orig = sku.check_array
+    import sklearn.utils.validation as skv
+    orig = skv.check_array
 
     def check_array(*args, **kwargs):
         if 'force_all_finite' in kwargs:
@@ -105,6 +108,7 @@ def _install_sklearn_compat():
         return orig(*args, **kwargs)
 
     sku.check_array = check_array
+    skv.check_array = check_array
 
 
 def _yule_walker(x, order=1, method='adjusted', demean=True):
@@ -497,6 +501,9 @@ def sampson_lsm_stats():
 
 
 def sampson_hdp_stats(n_iter=3000, tune=1000, burn=1000):
+    # native C kernels (parity <= 1e-12): the full 200k-sweep budget drops
+    # from ~2.4 h (NumPy shims) to ~40 min without changing the statistics
+    enable_native_kernels()
     ref = load_reference()
     from dynetlsm.datasets import load_monks
     Y, _, _ = load_monks(is_directed=False)
@@ -509,6 +516,9 @@ def sampson_hdp_stats(n_iter=3000, tune=1000, burn=1000):
         return_counts=True)
     return {
         'auc': round(float(model.auc_), 4),
+        # posterior-mean-probas AUC: the estimator without the single-
+        # VI-sample variance that makes the selected-sample AUC row soft
+        'posterior_mean_auc': round(_posterior_mean_auc_ref(model, Y), 4),
         'lambda_mean': round(float(model.lambdas_[nb:].mean()), 4),
         'lambda_sd': round(float(model.lambdas_[nb:].std()), 4),
         'intercept_mean': round(float(model.intercepts_[nb:].mean()), 4),
@@ -567,12 +577,18 @@ def _posterior_mean_auc_ref(model, Y, max_samples=2000):
     return roc_auc_score(y, p)
 
 
-def realdata_stats(n_iter=2000, tune=500, burn=500, K=25):
+def realdata_stats(n_iter=2000, tune=500, burn=500, K=25, only=None):
     """GoT + alliances quality rows at the budget matched by
     scripts/reproduce_notebooks.py real_data_quality(): in-sample
     (selected + posterior-mean) AUC, held-out dyad AUC, one-step forecast
     AUC — the reference package computing each with its own machinery
-    (imputer + missings_ Gibbs trace, forecast.pyx marginal forecast)."""
+    (imputer + missings_ Gibbs trace, forecast.pyx marginal forecast).
+
+    ``only='<dataset>:<fit>'`` (e.g. ``got:full``, ``alliances:forecast``)
+    restricts the run to one of the six independent fits so they can run
+    as parallel single-core processes — the reference needs ~30-60 min
+    per GoT fit, so the serial sweep does not finish in a working
+    session."""
     from sklearn.metrics import roc_auc_score
     ref = load_reference()
     enable_native_kernels()
@@ -593,29 +609,36 @@ def realdata_stats(n_iter=2000, tune=500, burn=500, K=25):
     from dynetlsm.model_selection import train_test_split
     from dynetlsm.metrics import out_of_sample_auc
 
+    want_ds, want_fit = (only.split(':') if only else (None, None))
     out = {}
-    for name, Y in (('got', load_got()[0]),
-                    ('alliances', load_alliances()[0])):
+    for name, loader in (('got', load_got), ('alliances', load_alliances)):
+        if want_ds and name != want_ds:
+            continue
+        Y = loader()[0]
+
         def make():
             return ref.DynamicNetworkHDPLPCM(
                 n_components=K, n_iter=n_iter, tune=tune, burn=burn,
                 selection_type='vi', random_state=42)
 
         t0 = time.time()
-        full = make().fit(Y)
-        stats = {
-            'insample_auc': round(float(full.auc_), 4),
-            'posterior_mean_auc': round(_posterior_mean_auc_ref(full, Y),
-                                        4),
-        }
-        Y_obs, test_idx = train_test_split(Y, test_size=0.1, random_state=3)
-        held = make().fit(Y_obs)
-        stats['heldout_auc'] = round(
-            float(out_of_sample_auc(Y, held.missings_, test_idx)), 4)
-        fore = make().fit(Y[:-1])
-        idx = np.tril_indices(Y.shape[1], k=-1)
-        stats['onestep_auc'] = round(float(roc_auc_score(
-            Y[-1][idx], fore.forecast_probas_marginalized_[idx])), 4)
+        stats = {}
+        if want_fit in (None, 'full'):
+            full = make().fit(Y)
+            stats['insample_auc'] = round(float(full.auc_), 4)
+            stats['posterior_mean_auc'] = round(
+                _posterior_mean_auc_ref(full, Y), 4)
+        if want_fit in (None, 'heldout'):
+            Y_obs, test_idx = train_test_split(Y, test_size=0.1,
+                                               random_state=3)
+            held = make().fit(Y_obs)
+            stats['heldout_auc'] = round(
+                float(out_of_sample_auc(Y, held.missings_, test_idx)), 4)
+        if want_fit in (None, 'forecast'):
+            fore = make().fit(Y[:-1])
+            idx = np.tril_indices(Y.shape[1], k=-1)
+            stats['onestep_auc'] = round(float(roc_auc_score(
+                Y[-1][idx], fore.forecast_probas_marginalized_[idx])), 4)
         stats['wall_clock_s'] = round(time.time() - t0, 1)
         out[name] = stats
         print(json.dumps({name: stats}, indent=2), flush=True)
@@ -706,10 +729,13 @@ if __name__ == '__main__':
         out['sampson_directed_lsm'] = sampson_directed_lsm_stats()
         print(json.dumps(out, indent=2))
     if which == 'realdata':
-        # reference_shim.py realdata [n_iter tune burn] — budgets must
-        # match scripts/reproduce_notebooks.py real_data_quality()
+        # reference_shim.py realdata [n_iter tune burn] [ds:fit] — budgets
+        # must match scripts/reproduce_notebooks.py real_data_quality();
+        # the optional ds:fit selector (got:full ... alliances:forecast)
+        # runs one of the six independent fits (parallel single-core jobs)
         rd_budget = [int(v) for v in sys.argv[2:5]]
-        out['realdata'] = realdata_stats(*rd_budget)
+        only = next((a for a in sys.argv[2:] if ':' in a), None)
+        out['realdata'] = realdata_stats(*rd_budget, only=only)
         print(json.dumps(out, indent=2))
     if which == 'northstar':
         # reference_shim.py northstar [n_sweeps] [directed] [cc<M>]

@@ -238,16 +238,20 @@ def test_vmem_capacity_gate():
     assert _vmem_max_chains(10, 512, clamp=False) >= 32
     # with the packed adjacency + hoisted-reciprocal eta rows (round 4) a
     # 48-chain directed invocation fits VMEM (probed at T=10/n=512); the
-    # estimate is a safe lower bound (45) and must not exceed the
-    # undirected one
+    # estimate must not exceed the undirected one
     assert 40 <= _vmem_max_chains(10, 512, directed=True) \
         <= _vmem_max_chains(10, 512)
-    # the directed kernel's larger live set still exceeds VMEM at n = 8192
-    # (probed: Mosaic compile failure) — the dispatch gate must fall back
-    # to the XLA scan — while a single undirected chain fits (probed)
+    # single undirected chains fit to n = 8192 through the int8 layout and
+    # to n = 16384 through the stream16 layout (both probed on a v5e chip);
+    # directed tops out at n = 8192 via stream16 — past each variant's cap
+    # the raw capacity must go <= 0 so the gate falls back to the XLA scan
     assert _vmem_max_chains(10, 8192, clamp=False) >= 1
-    assert _vmem_max_chains(10, 8192, directed=True, clamp=False) <= 0
+    assert _vmem_max_chains(10, 8192, directed=True, clamp=False,
+                            stream16=True) >= 1
     assert _vmem_max_chains(10, 16384, clamp=False) <= 0
+    assert _vmem_max_chains(10, 16384, clamp=False, stream16=True) >= 1
+    assert _vmem_max_chains(10, 16384, directed=True, clamp=False,
+                            stream16=True) <= 0
     assert _vmem_max_chains(10, 16384) == 1           # clamped floor
 
 
@@ -358,6 +362,68 @@ def test_pallas_scan_chain_major_fullT(rng):
             Y, Xc[c], b[c], stepc[c], epsc[c], log_uc[c],
             mu=jnp.asarray(mu[c]), sigma=jnp.asarray(sig[c]),
             lmbda=jnp.float32(lam[c]), z=jnp.asarray(z[c]), mixture=True)
+        np.testing.assert_array_equal(np.asarray(acc_xla),
+                                      np.asarray(acc_pal)[c])
+        np.testing.assert_allclose(np.asarray(X_xla),
+                                   np.asarray(X_pal)[c], atol=1e-6)
+
+
+def test_pallas_scan_stream16_time_major(rng, monkeypatch):
+    """The stream16 large-n adjacency layout (bf16 16-row single-buffered
+    blocks, no stage, in-place position field) realises the identical
+    Markov chain — forced on at a CPU-interpretable size.  n = 140 pads to
+    two 128-node stream tiles, exercising the g-advance every 8 blocks."""
+    import dynetlsm_tpu.ops.pallas_scan as ps
+    from dynetlsm_tpu.ops.pallas_scan import node_scan_batch
+    monkeypatch.setattr(ps, '_FORCE_STREAM16', True)
+    K = 3
+    X, Y, step, eps, log_u = _setup(rng, T=10, n=140)
+    T, n, d = X.shape
+    mu = rng.randn(K, d).astype(np.float32)
+    sig = (rng.rand(K) + 0.3).astype(np.float32)
+    z = rng.randint(0, K, (T, n)).astype(np.int32)
+
+    X_pal, acc_pal = node_scan_batch(
+        jnp.asarray(Y), jnp.asarray(X)[None], jnp.ones((1,), jnp.float32),
+        jnp.asarray(step)[None], jnp.asarray(eps)[None],
+        jnp.asarray(log_u)[None], tau_sq=0.0, sigma_sq=1.0,
+        mu=jnp.asarray(mu)[None], sigma=jnp.asarray(sig)[None],
+        lmbda=jnp.full((1,), 0.8, jnp.float32), z=jnp.asarray(z)[None],
+        mixture=True, interpret=True)
+    X_xla, acc_xla = _xla_ref(
+        Y, X, 1.0, step, eps, log_u, mu=jnp.asarray(mu),
+        sigma=jnp.asarray(sig), lmbda=jnp.float32(0.8),
+        z=jnp.asarray(z), mixture=True)
+    np.testing.assert_array_equal(np.asarray(acc_xla), np.asarray(acc_pal)[0])
+    np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal)[0],
+                               atol=1e-6)
+
+
+def test_pallas_scan_stream16_directed_chain_major(rng, monkeypatch):
+    """stream16 with the directed packed-adjacency decode and the
+    chain-major (C >= 8) layout."""
+    import dynetlsm_tpu.ops.pallas_scan as ps
+    from dynetlsm_tpu.ops.pallas_scan import node_scan_batch
+    monkeypatch.setattr(ps, '_FORCE_STREAM16', True)
+    C = 8
+    X, Y, radii, step, eps, log_u = _setup_directed(rng, T=9, n=20)
+    T, n, d = X.shape
+    Xc = rng.randn(C, T, n, d).astype(np.float32)
+    stepc = np.full((C, T, n), 0.05, np.float32)
+    epsc = rng.randn(C, 2, n, T, d).astype(np.float32)
+    log_uc = np.log(rng.rand(C, 2, n, T)).astype(np.float32)
+    radc = np.tile(radii, (C, 1)).astype(np.float32)
+    b = np.tile(np.array([[0.4, 0.8]], np.float32), (C, 1))
+
+    X_pal, acc_pal = node_scan_batch(
+        jnp.asarray(Y), jnp.asarray(Xc), jnp.asarray(b),
+        jnp.asarray(stepc), jnp.asarray(epsc), jnp.asarray(log_uc),
+        tau_sq=2.0, sigma_sq=0.1, radii=jnp.asarray(radc),
+        mixture=False, interpret=True)
+    for c in (0, 5):
+        X_xla, acc_xla = _xla_ref(
+            Y, Xc[c], b[c], stepc[c], epsc[c], log_uc[c], radii=radii,
+            tau_sq=2.0, sigma_sq=0.1, mixture=False)
         np.testing.assert_array_equal(np.asarray(acc_xla),
                                       np.asarray(acc_pal)[c])
         np.testing.assert_allclose(np.asarray(X_xla),
