@@ -124,8 +124,11 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True, stream16=False):
             # whose buffers carry no time-axis sublane padding (~8 real
             # time-row buffer equivalents per chain with in-place x).  With
             # the round-4 packed adjacency and hoisted-reciprocal eta rows
-            # the directed kernel's live set matches the undirected one
-            per_chain = 8 * 2 * th * n_pad * 4 + scr + (1 << 16)
+            # the directed kernel's live set matches the undirected one.
+            # Fixed cost calibrated on-chip (round 4, both variants at
+            # T=10/n_pad=512): C=44 compiles, C=48 overflows scoped VMEM,
+            # so the 1<<17 stack/spill constant caps the model at 42 there
+            per_chain = 8 * 2 * th * n_pad * 4 + scr + (1 << 17)
             raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
     if not clamp:
         return raw                 # 0 => not even one chain fits VMEM
@@ -222,7 +225,13 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     if directed:
         b_in_s = scalar(0)
         b_out_s = scalar(1)
-        b_both = b_in_s + b_out_s
+        # keep b_both lane-resident like the undirected b_in row: the
+        # scalar (C,1,1) form needs a sublane+lane double broadcast
+        # against the (C,Th,n) dist, which Mosaic rejects ("Broadcast in
+        # both sublanes and lanes") once n is large; the params rows are
+        # exact lane-broadcasts of the same values, so this is bit-equal
+        b_both = (params[0:1] + params[1:2] if c_sublane
+                  else params[:, 0:1, :] + params[:, 1:2, :])
 
     t_ax = 0 if c_sublane else 1                             # time axis
     m_col = (jax.lax.broadcasted_iota(jnp.int32, (Th, 1, 1), 0)
@@ -658,7 +667,13 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
     if directed:
         b_in_s = scalar(0)
         b_out_s = scalar(1)
-        b_both = b_in_s + b_out_s
+        # keep b_both lane-resident like the undirected b_in row: the
+        # scalar (C,1,1) form needs a sublane+lane double broadcast
+        # against the (C,Th,n) dist, which Mosaic rejects ("Broadcast in
+        # both sublanes and lanes") once n is large; the params rows are
+        # exact lane-broadcasts of the same values, so this is bit-equal
+        b_both = (params[0:1] + params[1:2] if c_sublane
+                  else params[:, 0:1, :] + params[:, 1:2, :])
 
     t_ax = 0 if c_sublane else 1                             # time axis
     t_col = (jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)

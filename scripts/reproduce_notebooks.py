@@ -120,7 +120,7 @@ def real_data_quality():
             n_components=25, n_iter=n_iter, tune=tune, burn=burn,
             selection_type='vi', random_state=42)
 
-    for name, Y in (('Game of Thrones seasons 1-4', load_got()[0]),
+    for name, Y in (('Game of Thrones (8 seasons)', load_got()[0]),
                     ('military alliances 1950-75', load_alliances()[0])):
         banner('%s — quality at a %d-sweep budget (T=%d, n=%d)'
                % (name, n_iter + tune + burn, Y.shape[0], Y.shape[1]))
