@@ -113,10 +113,13 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True, stream16=False):
         # aliased in place (input_output_aliases), the VMEM-resident
         # per-chain state is x/acc plus compiler temporaries: ~8 t_pad-row
         # buffer equivalents time-major; the directed twin eta_in/eta_out
-        # evaluations keep ~14 equivalents live (round-4 probes: undirected
-        # n = 16384 single-chain compiles via stream16, directed n = 16384
-        # does not; directed n = 8192 compiles via stream16 only)
-        n_buf = 14 if directed else 8
+        # evaluations keep ~24 equivalents live (calibrated: directed
+        # n = 8192 int8 is rejected by the compiler needing 20.48M scoped
+        # VMEM against the 16M limit, which backs out 24 equivalents, and
+        # stream16 at the same shape compiles — so the dispatch must route
+        # directed n = 8192 to stream16; undirected n = 16384 single-chain
+        # compiles via stream16, directed n = 16384 fits neither)
+        n_buf = 24 if directed else 8
         per_chain = n_buf * t_pad * n_pad * 4 + scr + (1 << 17)
         raw = int((15.0 * 2 ** 20 - y_bytes) // per_chain)
         if raw >= 8:
