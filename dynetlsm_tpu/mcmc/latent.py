@@ -280,6 +280,149 @@ def _mala_update(key, Y, X, intercept, step_size, radii, tau_sq, sigma_sq,
     return X_new, jnp.full((T, n), accept.astype(X.dtype))
 
 
+def _rw_prior_class(xs, x_cur, tau_sq, sigma_sq):
+    """Class-batched :func:`_rw_prior_per_t`: xs / x_cur (T, S, d) ->
+    (T, S).  Elementwise-identical arithmetic (parity tests compare the
+    colored scan bit-for-bit against the sequential scan)."""
+    T = xs.shape[0]
+    t_idx = jnp.arange(T)[:, None]
+    prev = jnp.concatenate([jnp.zeros_like(x_cur[:1]), x_cur[:-1]], axis=0)
+    nxt = jnp.concatenate([x_cur[1:], jnp.zeros_like(x_cur[:1])], axis=0)
+
+    back0 = -0.5 * jnp.sum(xs * xs, axis=-1) / tau_sq
+    backt = -0.5 * jnp.sum((xs - prev) ** 2, axis=-1) / sigma_sq
+    back = jnp.where(t_idx == 0, back0, backt)
+
+    fwd = -0.5 * jnp.sum((nxt - xs) ** 2, axis=-1) / sigma_sq
+    fwd = jnp.where(t_idx == T - 1, 0.0, fwd)
+    return back + fwd
+
+
+def _mixture_prior_class(xs, x_cur, mu_z, sigma_z, lmbda):
+    """Class-batched :func:`_mixture_prior_per_t`: xs / x_cur / mu_z
+    (T, S, d), sigma_z (T, S) -> (T, S)."""
+    T = xs.shape[0]
+    t_idx = jnp.arange(T)[:, None]
+    prev = jnp.concatenate([jnp.zeros_like(x_cur[:1]), x_cur[:-1]], axis=0)
+    nxt = jnp.concatenate([x_cur[1:], jnp.zeros_like(x_cur[:1])], axis=0)
+    mu_nxt = jnp.concatenate([mu_z[1:], jnp.zeros_like(mu_z[:1])], axis=0)
+    sig_nxt = jnp.concatenate([sigma_z[1:], jnp.ones_like(sigma_z[:1])],
+                              axis=0)
+
+    diff0 = xs - mu_z
+    difft = xs - (1.0 - lmbda) * prev - lmbda * mu_z
+    diff = jnp.where((t_idx == 0)[..., None], diff0, difft)
+    back = -0.5 * jnp.sum(diff * diff, axis=-1) / sigma_z
+
+    fdiff = nxt - (1.0 - lmbda) * xs - lmbda * mu_nxt
+    fwd = -0.5 * jnp.sum(fdiff * fdiff, axis=-1) / sig_nxt
+    fwd = jnp.where(t_idx == T - 1, 0.0, fwd)
+    return back + fwd
+
+
+def cc_colored_scan(X, intercept, step_size, eps, log_u, *, radii=None,
+                    tau_sq=None, sigma_sq=None, mu=None, sigma=None,
+                    lmbda=None, z=None, cc=None, is_directed=False,
+                    mixture=False, temper=None):
+    """Exact chromatic case-control node scan.
+
+    The sequential single-site scan is latency-bound on TPU (O(n)
+    dependent dispatches); under the case-control likelihood the
+    dependency graph is *sparse* — node j's conditional sees only its
+    edge partners and control nodes.  With the conflict graph properly
+    colored (ops/case_control.color_conflict_graph) and controls drawn
+    across color classes (sample_controls_colored), all nodes of one
+    class have conditionally independent single-site conditionals, so
+    one vectorised MH step updates the entire class at once — exact
+    blocked Gibbs realising the same stationary distribution as the
+    reference's sequential case-control sweep
+    (sample_latent_positions.py:92-146 + case_control_likelihood.py),
+    in O(n_colors) sequential steps instead of O(n).
+
+    Each class step runs the same two time-parity phases as the
+    sequential scan and consumes the identical per-node proposal stream
+    (eps (2, n, T, d), log_u (2, n, T)), so with singleton classes in
+    index order it is bit-identical to :func:`xla_exact_scan`
+    (tests/test_case_control.py).
+    """
+    from ..ops.case_control import (
+        class_directed_partial_loglik, class_undirected_partial_loglik,
+        _gather_partners as _cc_gather)
+
+    T, n, d = X.shape
+    t_idx = jnp.arange(T)[:, None]
+    groups = cc['color_groups']                          # (n_colors, S)
+    n_colors = groups.shape[0]
+
+    def gather_sets(X, safe):
+        """Pre-gather partner (idx, pos[, radii]) per control/edge set —
+        partners are never in the updating class, so one gather serves
+        both phases and both candidates."""
+        out = {'degrees': (jnp.take(cc['degrees'], safe, axis=1)
+                           if is_directed else
+                           jnp.take(cc['degrees'][..., 1], safe, axis=1))}
+        names = (('in_edges', 'out_edges', 'ctrl_in', 'ctrl_out')
+                 if is_directed else ('out_edges', 'ctrl_out'))
+        for name in names:
+            idx = jnp.take(cc[name], safe, axis=1)       # (T, S, M)
+            pos = _cc_gather(X, idx)                     # (T, S, M, d)
+            if is_directed:
+                out[name] = (idx, pos, radii[jnp.maximum(idx, 0)])
+            else:
+                out[name] = (idx, pos)
+        return out
+
+    def color_body(c, carry):
+        X, acc = carry
+        nodes = groups[c]                                # (S,)
+        valid = nodes >= 0
+        safe = jnp.maximum(nodes, 0)
+        oob = jnp.where(valid, nodes, n)                 # drop pad scatters
+
+        step_j = jnp.take(step_size, safe, axis=1)       # (T, S)
+        partners = gather_sets(X, safe)
+        if is_directed:
+            r_self = radii[safe]
+        if mixture:
+            z_j = jnp.take(z, safe, axis=1)              # (T, S)
+            mu_j = mu[z_j]                               # (T, S, d)
+            sig_j = sigma[z_j]                           # (T, S)
+
+        def class_ll(xq):
+            if is_directed:
+                return class_directed_partial_loglik(
+                    xq, partners, r_self, intercept[0], intercept[1], n)
+            return class_undirected_partial_loglik(
+                xq, partners, intercept[0], n)
+
+        x_cur = jnp.take(X, safe, axis=1)                # (T, S, d)
+        for phase in (0, 1):
+            eps_j = jnp.moveaxis(jnp.take(eps[phase], safe, axis=0), 0, 1)
+            u_j = jnp.take(log_u[phase], safe, axis=0).T  # (T, S)
+            x_prop = x_cur + step_j[..., None] * eps_j
+
+            delta_ll = class_ll(x_prop) - class_ll(x_cur)
+            if mixture:
+                lp = _mixture_prior_class(x_prop, x_cur, mu_j, sig_j, lmbda)
+                lc = _mixture_prior_class(x_cur, x_cur, mu_j, sig_j, lmbda)
+            else:
+                lp = _rw_prior_class(x_prop, x_cur, tau_sq, sigma_sq)
+                lc = _rw_prior_class(x_cur, x_cur, tau_sq, sigma_sq)
+            if temper is not None:
+                delta_ll = temper * delta_ll
+            ratio = delta_ll + lp - lc
+            in_phase = (t_idx % 2) == phase
+            accept = jnp.logical_and(u_j < ratio, in_phase)
+            accept = jnp.logical_and(accept, valid[None, :])
+            x_cur = jnp.where(accept[..., None], x_prop, x_cur)
+            acc = acc.at[:, oob].add(accept.astype(X.dtype), mode='drop')
+        X = X.at[:, oob].set(x_cur, mode='drop')
+        return X, acc
+
+    return jax.lax.fori_loop(0, n_colors, color_body,
+                             (X, jnp.zeros((T, n), X.dtype)))
+
+
 @partial(jax.jit, static_argnames=('is_directed', 'mixture', 'scheme'))
 def sample_latent_positions(key, Y, X, intercept, step_size, *,
                             radii=None, tau_sq=None, sigma_sq=None,
@@ -343,6 +486,16 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     else:
         eps, log_u = noise
 
+    # exact chromatic case-control scan: O(n_colors) sequential steps,
+    # no dense adjacency (the large-n path; all backends)
+    if cc is not None and 'color_groups' in cc:
+        return cc_colored_scan(X, intercept, step_size, eps, log_u,
+                               radii=radii if is_directed else None,
+                               tau_sq=tau_sq, sigma_sq=sigma_sq, mu=mu,
+                               sigma=sigma, lmbda=lmbda, z=z, cc=cc,
+                               is_directed=is_directed, mixture=mixture,
+                               temper=temper)
+
     # On TPU the exact scan (undirected and directed social-radii) runs as
     # one fused Pallas kernel (same Markov kernel and proposal stream;
     # ~20x less dispatch overhead at large n).  The adjacency is streamed
@@ -351,7 +504,7 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     # then the stream16 bf16 layout to n ~ 16384 (undirected).  Falls back
     # to the XLA fori_loop on other backends or under case-control.
     n_pad = max(-(-n // 128) * 128, 128)
-    if (scheme == 'exact' and cc is None and temper is None
+    if (scheme == 'exact' and cc is None
             and jax.default_backend() == 'tpu'):
         from ..ops.pallas_scan import _vmem_max_chains
         use_pallas = (
@@ -367,7 +520,8 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
             tau_sq=0.0 if mixture else tau_sq,
             sigma_sq=1.0 if mixture else sigma_sq,
             radii=radii if is_directed else None,
-            mu=mu, sigma=sigma, lmbda=lmbda, z=z, mixture=mixture)
+            mu=mu, sigma=sigma, lmbda=lmbda, z=z, mixture=mixture,
+            temper=temper)
 
     return xla_exact_scan(Y, X, intercept, step_size, eps, log_u,
                           radii=radii, tau_sq=tau_sq, sigma_sq=sigma_sq,

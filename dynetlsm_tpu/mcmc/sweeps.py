@@ -137,23 +137,33 @@ def _network_loglik(cfg, Y, dist, intercept, radii, X=None, cc=None):
     return undirected_loglik_full(Y, dist, intercept[0])
 
 
-def _refresh_controls(cfg, key, state, Y, it_hint=None):
+def _refresh_controls(cfg, key, state, Y, lists, cc_static, it_hint=None):
     """Periodically redraw the control-node sets inside the jitted sweep
     (reference CaseControlSampler.resample, case_control_likelihood.py:27-33
     — cadence-only there too).
 
+    With color classes present (``cc_static['colors']``, the default built
+    by models/base.build_case_control) the redraw is the O(n * m) sparse
+    draw against the *current* edge ``lists`` — no dense adjacency is
+    touched, which is what lets the case-control sweep run at n >> 10^4.
+    Legacy dicts without colors keep the dense Gumbel top-k draw.
+
     ``it_hint`` is a chain-invariant scalar iteration index supplied by the
     scan runner: with it, the redraw runs under ``lax.cond`` and the
-    (T, n, n) Gumbel + top-k work really is skipped on off-cadence sweeps.
-    (The per-chain ``state.it`` makes a worse predicate — vmap over chains
-    batches it and lowers the cond to a select that runs both branches
-    every sweep.)  Without a hint the same cond runs on ``state.it``: a
-    direct un-vmapped ``sweep(state)`` caller still gets the real skip,
-    and a vmapped caller degrades to the run-both-branches select rather
-    than an error.
+    redraw work really is skipped on off-cadence sweeps.  (The per-chain
+    ``state.it`` makes a worse predicate — vmap over chains batches it and
+    lowers the cond to a select that runs both branches every sweep.)
+    Without a hint the same cond runs on ``state.it``: a direct un-vmapped
+    ``sweep(state)`` caller still gets the real skip, and a vmapped caller
+    degrades to the run-both-branches select rather than an error.
     """
 
     def redraw(_):
+        if 'colors' in cc_static:
+            from ..ops.case_control import sample_controls_colored
+            return sample_controls_colored(key, lists, cc_static['colors'],
+                                           cfg.n_control,
+                                           directed=cfg.is_directed)
         return sample_control_nodes(key, Y, cfg.n_control,
                                     directed=cfg.is_directed)
 
@@ -166,13 +176,17 @@ def _refresh_controls(cfg, key, state, Y, it_hint=None):
 def build_cc_dict(cfg, Y, cc_static, ctrl_in, ctrl_out):
     """Assemble the case-control structure dict consumed by the likelihood
     kernels: the (possibly per-sweep rebuilt) edge lists plus the control
-    index tensors.  Single source of truth for both the in-sweep
-    structures and the initial-sample logp (models/base.init_cc_dict), so
-    ``logps_`` is one consistent estimator throughout."""
+    index tensors and the static color classes.  Single source of truth
+    for both the in-sweep structures and the initial-sample logp
+    (models/base.init_cc_dict), so ``logps_`` is one consistent estimator
+    throughout."""
     lists = (edge_lists_device(Y, cc_static['max_deg'])
              if cfg.sample_missing else cc_static)
     cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
     cc.pop('max_deg', None)
+    for k in ('colors', 'color_groups'):
+        if k in cc_static:
+            cc[k] = cc_static[k]
     return cc
 
 
@@ -182,9 +196,16 @@ def _cc_structures(cfg, key, state, Y, cc_static, it_hint=None):
     an in-device rebuild of the padded edge lists from the current Y
     (reference MissingDirectedCaseControlSampler,
     case_control_likelihood.py:115-186)."""
-    ctrl_in, ctrl_out = _refresh_controls(cfg, key, state, Y, it_hint)
-    return (build_cc_dict(cfg, Y, cc_static, ctrl_in, ctrl_out),
-            ctrl_in, ctrl_out)
+    lists = (edge_lists_device(Y, cc_static['max_deg'])
+             if cfg.sample_missing else cc_static)
+    ctrl_in, ctrl_out = _refresh_controls(cfg, key, state, Y, lists,
+                                          cc_static, it_hint)
+    cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+    cc.pop('max_deg', None)
+    for k in ('colors', 'color_groups'):
+        if k in cc_static:
+            cc[k] = cc_static[k]
+    return cc, ctrl_in, ctrl_out
 
 
 def _resample_missing(cfg, key, Y, dist, intercept, radii, miss_mask,
@@ -343,7 +364,7 @@ def make_lsm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         # 4. cached distances — skipped under case-control (lsm.py:504-505)
         # and when the fused Pallas pair kernel evaluates the intercept MH
         # directly from X (nothing else in the sweep needs them then)
-        fused = _fused_pair_ok(cfg, Y.shape[-1])
+        fused = _fused_pair_ok(cfg, X.shape[1])
         skip_dist = (use_cc and not cfg.sample_missing) or fused
         dist = None if skip_dist else pairwise_distances(X)
 
@@ -435,7 +456,7 @@ def _mixture_common_logp(cfg, Y, X, intercept, radii, dist, z, mu, sigma,
     LPCM and HDP-LPCM log joints (reference lpcm.py:789-855 /
     hdp_lpcm.py:1213-1278).  ``net_ll`` reuses an already-computed network
     log-likelihood at the current state (one fewer dense pass)."""
-    n = Y.shape[-1]
+    n = X.shape[1]
     ll = (net_ll if net_ll is not None else
           _network_loglik(cfg, Y, dist, intercept, radii, X=X, cc=cc))
 
@@ -567,7 +588,7 @@ def make_lpcm_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         acc_X = state.acc_X + acc_new
         if cfg.center:
             X = X - jnp.mean(X, axis=(0, 1))
-        fused = _fused_pair_ok(cfg, Y.shape[-1])
+        fused = _fused_pair_ok(cfg, X.shape[1])
         skip_dist = (use_cc and not cfg.sample_missing) or fused
         dist = None if skip_dist else pairwise_distances(X)
 
@@ -674,7 +695,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         it_next = state.it + 1
         Y = state.Y if cfg.sample_missing else Y_fixed
         T = state.X.shape[0]
-        n = Y.shape[-1]
+        n = state.X.shape[1]
         keys = jax.random.split(state.key, 20)
 
         if use_cc:
@@ -694,7 +715,7 @@ def make_hdp_sweep(Y_fixed, miss_mask, intercept_prior, cfg: SweepConfig,
         acc_X = state.acc_X + acc_new
         if cfg.center:
             X = X - jnp.mean(X, axis=(0, 1))
-        fused = _fused_pair_ok(cfg, Y.shape[-1])
+        fused = _fused_pair_ok(cfg, X.shape[1])
         skip_dist = (use_cc and not cfg.sample_missing) or fused
         dist = None if skip_dist else pairwise_distances(X)
 

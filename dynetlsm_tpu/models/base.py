@@ -164,21 +164,31 @@ def build_case_control(cfg, Y_dev, Y_host, rng, miss_mask=None):
              (ctrl_in, ctrl_out) initial control draws or None).
     """
     from ..ops.case_control import (
-        build_edge_lists, sample_control_nodes, max_degree_bound)
+        build_edge_lists, color_conflict_graph, sample_controls_colored,
+        max_degree_bound)
 
     if cfg.n_control is None:
         return None, None
 
+    lists = build_edge_lists(Y_host)
     if cfg.sample_missing:
         # edge structure drifts as missing dyads are resampled — the sweep
         # rebuilds the padded lists in-device with this static safe bound
         cc_static = {'max_deg': max_degree_bound(Y_host, miss_mask)}
     else:
-        lists = build_edge_lists(Y_host)
         cc_static = {k: jnp.asarray(v) for k, v in lists.items()}
-    ctrl = sample_control_nodes(
-        jax.random.PRNGKey(rng.randint(0, 2 ** 31 - 1)), Y_dev,
-        cfg.n_control, directed=cfg.is_directed)
+    # color classes for the exact chromatic scan (mcmc/latent
+    # cc_colored_scan): conflicts = observed edges + missing dyads (which
+    # resampling can turn into edges)
+    colors, groups = color_conflict_graph(
+        lists, Y_host.shape[1], miss_mask=miss_mask,
+        seed=rng.randint(0, 2 ** 31 - 1))
+    cc_static['colors'] = jnp.asarray(colors)
+    cc_static['color_groups'] = jnp.asarray(groups)
+    ctrl = sample_controls_colored(
+        jax.random.PRNGKey(rng.randint(0, 2 ** 31 - 1)),
+        {k: jnp.asarray(v) for k, v in lists.items()},
+        cc_static['colors'], cfg.n_control, directed=cfg.is_directed)
     return cc_static, ctrl
 
 

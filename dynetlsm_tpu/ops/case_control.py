@@ -127,6 +127,183 @@ def sample_control_nodes(key, Y, n_control, directed=True):
     return draw(k_in, jnp.swapaxes(Y, -1, -2)), draw(k_out, Y)
 
 
+def color_conflict_graph(lists, n, miss_mask=None, seed=0):
+    """Balanced greedy coloring of the node-conflict graph for the exact
+    chromatic case-control scan (mcmc/latent.cc_colored_scan).
+
+    Two nodes conflict when their single-site conditionals can depend on
+    each other under the case-control likelihood: an observed edge in any
+    direction at any time step, or a missing dyad (which Gibbs resampling
+    can turn into an edge mid-fit).  Control-set dependencies never cross
+    color classes because :func:`sample_controls_colored` draws controls
+    only from other classes, so a proper coloring of this graph makes all
+    nodes of one class conditionally independent given the rest — the
+    class-parallel update is exact blocked Gibbs, with O(n_colors)
+    sequential steps per sweep instead of the reference's O(n)
+    (case_control_likelihood.py:36-112 keeps the sequential scan because
+    CPython has nothing to vectorise over).
+
+    ``lists``: host edge-list dict from :func:`build_edge_lists`.
+    Greedy over a random node order, assigning each node the least-loaded
+    non-conflicting color — load balancing keeps the padded class size
+    S ~ n / n_colors so the vectorised per-class work stays ~O(n) total.
+
+    Returns (colors (n,) int32, groups (n_colors, S) int32 with -1 pad).
+    """
+    pairs = []
+    for name in ('in_edges', 'out_edges'):
+        e = np.asarray(lists[name])                      # (T, n, D)
+        _, src, _ = np.nonzero(e >= 0)
+        pairs.append(np.stack([src, e[e >= 0]], axis=1))
+    if miss_mask is not None:
+        _, i, j = np.nonzero(np.asarray(miss_mask))
+        pairs.append(np.stack([i, j], axis=1))
+    pairs = np.concatenate(pairs, axis=0)
+    # symmetrize + dedupe
+    pairs = np.concatenate([pairs, pairs[:, ::-1]], axis=0)
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    pairs = np.unique(pairs, axis=0)
+    # CSR neighbour lists
+    order_idx = np.argsort(pairs[:, 0], kind='stable')
+    pairs = pairs[order_idx]
+    counts = np.bincount(pairs[:, 0], minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    nbr = pairs[:, 1]
+
+    rng = np.random.RandomState(seed)
+    colors = np.full(n, -1, dtype=np.int64)
+    loads = []
+    for j in rng.permutation(n):
+        nb_colors = colors[nbr[indptr[j]:indptr[j + 1]]]
+        nb_colors = nb_colors[nb_colors >= 0]
+        masked = np.array(loads, dtype=np.float64)
+        if masked.size:
+            masked[np.unique(nb_colors)] = np.inf
+        if masked.size and np.isfinite(masked).any():
+            c = int(np.argmin(masked))
+        else:
+            c = len(loads)
+            loads.append(0)
+        colors[j] = c
+        loads[c] += 1
+    n_colors = len(loads)
+    S = int(max(loads))
+    groups = np.full((n_colors, S), -1, dtype=np.int32)
+    for c in range(n_colors):
+        members = np.flatnonzero(colors == c)
+        groups[c, :members.shape[0]] = members
+    return colors.astype(np.int32), groups
+
+
+def sample_controls_colored(key, lists, colors, n_control, directed=True):
+    """Draw control non-edges per (t, node) without touching a dense
+    adjacency: ``n_control`` uniform candidates per row, masked to -1 where
+    invalid (self, currently an edge, or in the node's own color class).
+
+    This replaces :func:`sample_control_nodes`'s O(n^2) Gumbel top-k for
+    the colored scan — memory and work are O(n * (m + max_deg)), which is
+    what lets the case-control estimator run at n >> 10^4.  Differences
+    from the reference's host-side set-difference draw
+    (case_control_likelihood.py:92-111): candidates are drawn *with*
+    replacement (duplicates keep the per-row mean-softplus estimator valid;
+    the scaled control term divides by the count of valid draws), and the
+    node's own color class is excluded from the pool — a uniformly random
+    ~1/n_colors of nodes, so the control estimate of the non-edge sum is
+    unchanged in expectation up to that exclusion.
+
+    ``lists``: device edge-list dict (current edge structure).  Returns
+    (ctrl_in, ctrl_out) int32 (T, n, m); ctrl_in is None when undirected.
+    """
+    T, n = lists['out_edges'].shape[:2]
+    node = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+
+    def member(cand, edges):
+        """cand (T, n, m) in edges (T, n, D)? — chunked over D to bound
+        the comparison buffer at (T, n, m)."""
+        D = edges.shape[-1]
+
+        def body(i, acc):
+            col = jax.lax.dynamic_slice_in_dim(edges, i, 1, axis=2)
+            return jnp.logical_or(acc, cand == col)
+
+        return jax.lax.fori_loop(
+            0, D, body, jnp.zeros(cand.shape, dtype=bool))
+
+    def draw(k, edges):
+        cand = jax.random.randint(k, (T, n, n_control), 0, n,
+                                  dtype=jnp.int32)
+        bad = cand == node
+        bad |= colors[cand] == colors[None, :, None]
+        bad |= member(cand, edges)
+        return jnp.where(bad, -1, cand)
+
+    k_out, k_in = jax.random.split(key)
+    ctrl_out = draw(k_out, lists['out_edges'])
+    if not directed:
+        return None, ctrl_out
+    return draw(k_in, lists['in_edges']), ctrl_out
+
+
+def class_directed_partial_loglik(x_new, partners, radii_self, b_in, b_out,
+                                  n):
+    """Case-control per-node log-likelihood for a whole color class at
+    once: node s of the class evaluated at ``x_new[:, s]`` against
+    pre-gathered partner positions (directed social-radii model,
+    reference directed_likelihoods_fast.pyx:83-182).
+
+    ``partners``: dict with per-set (idx (T, S, M), pos (T, S, M, d),
+    radii (T, S, M)) for in_edges / out_edges / ctrl_in / ctrl_out plus
+    degrees (T, S, 2).  x_new (T, S, d); radii_self (S,).  Returns (T, S).
+    """
+    r_self = radii_self[None, :, None]                   # (1, S, 1)
+
+    def eta_for(key, self_is_sender):
+        idx, pos, r_other = partners[key]
+        dist = _dist_to(pos, x_new)                      # (T, S, M)
+        if self_is_sender:
+            return idx, (b_in * (1.0 - dist / r_other)
+                         + b_out * (1.0 - dist / r_self))
+        return idx, (b_in * (1.0 - dist / r_self)
+                     + b_out * (1.0 - dist / r_other))
+
+    def edge_term(key, self_is_sender):
+        idx, eta = eta_for(key, self_is_sender)
+        term = eta - jax.nn.softplus(eta)
+        return jnp.sum(jnp.where(idx >= 0, term, 0.0), axis=-1)
+
+    def control_term(key, degree, self_is_sender):
+        idx, eta = eta_for(key, self_is_sender)
+        valid = idx >= 0
+        n_valid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+        ctrl = jnp.sum(jnp.where(valid, jax.nn.softplus(eta), 0.0), axis=-1)
+        return (n - degree - 1).astype(ctrl.dtype) / n_valid * ctrl
+
+    degrees = partners['degrees']
+    ll = edge_term('in_edges', self_is_sender=False)
+    ll += edge_term('out_edges', self_is_sender=True)
+    ll -= control_term('ctrl_in', degrees[..., 0], self_is_sender=False)
+    ll -= control_term('ctrl_out', degrees[..., 1], self_is_sender=True)
+    return ll
+
+
+def class_undirected_partial_loglik(x_new, partners, intercept, n):
+    """Undirected analog of :func:`class_directed_partial_loglik`
+    (reference static_network_fast.pyx:47-94).  partners: dict with
+    out_edges / ctrl_out (idx, pos) and degrees (T, S).  Returns (T, S)."""
+    idx_e, pos_e = partners['out_edges'][:2]
+    eta_e = intercept - _dist_to(pos_e, x_new)
+    ll = jnp.sum(jnp.where(idx_e >= 0, eta_e - jax.nn.softplus(eta_e), 0.0),
+                 axis=-1)
+
+    idx_c, pos_c = partners['ctrl_out'][:2]
+    valid = idx_c >= 0
+    n_valid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+    eta_c = intercept - _dist_to(pos_c, x_new)
+    ctrl = jnp.sum(jnp.where(valid, jax.nn.softplus(eta_c), 0.0), axis=-1)
+    degrees = partners['degrees']
+    return ll - (n - degrees - 1).astype(ctrl.dtype) / n_valid * ctrl
+
+
 def _gather_partners(X, idx):
     """partners[t, ..., j, :] = X[t, idx[t, ..., j], :] with -1-safe indices.
 

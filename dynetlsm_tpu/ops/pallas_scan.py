@@ -225,6 +225,13 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
     tau_sq = scalar(2)
     sigma_sq = scalar(3)
     lmbda = scalar(4)
+    # per-chain tempering scalar multiplying the network log-lik delta
+    # (parallel tempering, reference sample_latent_positions.py:132-141
+    # ratios scaled by the replica's beta).  Stored in a params row the
+    # prior family leaves unused — tau_sq (row 2) under the mixture prior,
+    # lmbda (row 4) under the random-walk prior — so the params tile stays
+    # 8 sublanes.  1.0 when untempered (an exact multiply).
+    temper_s = tau_sq if mixture else lmbda
     if directed:
         b_in_s = scalar(0)
         b_out_s = scalar(1)
@@ -383,7 +390,7 @@ def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
             ll_cur = loglik_row(x_self, xj, y_rows[parity],
                                 yt_rows[parity], p_out, p_in, mask)
             mu_oth = mu_j[1 - parity] if mixture else None
-            ratio = (ll_prop - ll_cur
+            ratio = (temper_s * (ll_prop - ll_cur)
                      + prior_terms(parity, x_prop, xj_oth, mu_j[parity],
                                    mu_oth, sig_j[parity], sig_j[1 - parity])
                      - prior_terms(parity, xj, xj_oth, mu_j[parity],
@@ -667,6 +674,9 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
     tau_sq = scalar(2)
     sigma_sq = scalar(3)
     lmbda = scalar(4)
+    # per-chain tempering scalar in the prior family's unused params row
+    # (see _node_scan_kernel); 1.0 when untempered
+    temper_s = tau_sq if mixture else lmbda
     if directed:
         b_in_s = scalar(0)
         b_out_s = scalar(1)
@@ -792,7 +802,7 @@ def _node_scan_kernel_fullT(params_ref, x_ref, y_ref, *refs, mixture, directed,
             ll_prop = loglik_row(x, x_prop, y_row, yt_row, p_out, p_in, mask)
             if ll_cur is None:
                 ll_cur = loglik_row(x, xj, y_row, yt_row, p_out, p_in, mask)
-            ratio = (ll_prop - ll_cur
+            ratio = (temper_s * (ll_prop - ll_cur)
                      + prior_terms(x_prop, xj, mu_j, sig_j)
                      - prior_terms(xj, xj, mu_j, sig_j))     # (C, T, 1)
             in_phase = (t_col % 2) == phase
@@ -1043,18 +1053,24 @@ def _call_kernel(Y_p, chunk, *, mixture, directed, n_real, interpret,
 
 def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
                     tau_sq, sigma_sq, radii=None, mu=None, sigma=None,
-                    lmbda=None, z=None, mixture=False, interpret=False):
+                    lmbda=None, z=None, mixture=False, temper=None,
+                    interpret=False):
     """Chain-batched exact node scan.
 
     Shapes: X (C, T, n, d); intercept (C,) undirected / (C, 2) directed;
     lmbda (C,); tau_sq / sigma_sq scalars or (C,); step_size (C, T, n);
     eps (C, 2, n, T, d) and log_u (C, 2, n, T) in the XLA kernel's stream
     layout; radii (C, n) switches on the directed likelihood; mu (C, K, d);
-    sigma (C, K); z (C, T, n).  Y is shared (T, n, n).
+    sigma (C, K); z (C, T, n); temper (C,) per-chain inverse temperatures
+    scaling the network log-lik delta (None = untempered).  Y is shared
+    (T, n, n).
 
     Returns (X_new (C, T, n, d), n_accepted (C, T, n)).
     """
     C, T, n, d = X.shape
+    temp_arr = (jnp.ones((C,), X.dtype) if temper is None
+                else jnp.broadcast_to(
+                    jnp.reshape(jnp.asarray(temper, X.dtype), (C,)), (C,)))
     directed = radii is not None
     n_pad = max(-(-n // 128) * 128, 128)
     pad = n_pad - n
@@ -1098,12 +1114,16 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
         sigz = jax.vmap(lambda s, zz: s[zz])(sigma, z)
         sigz = jnp.pad(sigz, ((0, 0),) * 2 + ((0, pad),), constant_values=1.0)
         lam = jnp.reshape(lmbda, (C,))
-        tau_arr = jnp.zeros((C,), X.dtype)
+        # the mixture prior never reads tau_sq: its params row carries the
+        # per-chain tempering scalar instead (see _node_scan_kernel)
+        tau_arr = temp_arr
         sig_arr = jnp.ones((C,), X.dtype)
     else:
         muz = jnp.zeros((d, C, T, n_pad), X.dtype)
         sigz = jnp.ones((C, T, n_pad), X.dtype)
-        lam = jnp.zeros((C,), X.dtype)
+        # the random-walk prior never reads lmbda: its params row carries
+        # the per-chain tempering scalar instead
+        lam = temp_arr
         tau_arr = jnp.broadcast_to(jnp.asarray(tau_sq, X.dtype), (C,))
         sig_arr = jnp.broadcast_to(jnp.asarray(sigma_sq, X.dtype), (C,))
 
@@ -1180,7 +1200,7 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
 def _node_scan_with_noise(Y, X, intercept, step_size, eps, log_u, *,
                           tau_sq=0.0, sigma_sq=1.0, radii=None,
                           mu=None, sigma=None, lmbda=None, z=None,
-                          mixture=False, interpret=False):
+                          mixture=False, temper=None, interpret=False):
     """Single-chain wrapper (adds C=1): same Markov kernel and proposal
     stream as :func:`dynetlsm_tpu.mcmc.latent.sample_latent_positions`."""
     X1 = X[None]
@@ -1196,7 +1216,10 @@ def _node_scan_with_noise(Y, X, intercept, step_size, eps, log_u, *,
         lmbda=None if lmbda is None else jnp.reshape(
             jnp.asarray(lmbda, X.dtype), (1,)),
         z=None if z is None else z[None],
-        mixture=mixture, interpret=interpret)
+        mixture=mixture,
+        temper=None if temper is None else jnp.reshape(
+            jnp.asarray(temper, X.dtype), (1,)),
+        interpret=interpret)
     return X_new[0], acc[0]
 
 
@@ -1211,43 +1234,47 @@ def _custom_vmap_scan(mixture, directed=False):
                 else jnp.reshape(intercept, (C,)))
 
     if mixture:
-        def single(Y, X, intercept, step, eps, log_u, radii, mu, sigma,
-                   lmbda, z):
+        def single(Y, X, intercept, step, eps, log_u, radii, temper, mu,
+                   sigma, lmbda, z):
             Xn, acc = node_scan_batch(
                 Y, X[None], b_shape(intercept, 1), step[None],
                 eps[None], log_u[None], tau_sq=0.0, sigma_sq=1.0,
                 radii=radii[None] if directed else None,
                 mu=mu[None], sigma=sigma[None],
-                lmbda=jnp.reshape(lmbda, (1,)), z=z[None], mixture=True)
+                lmbda=jnp.reshape(lmbda, (1,)), z=z[None], mixture=True,
+                temper=jnp.reshape(temper, (1,)))
             return Xn[0], acc[0]
 
-        def batched(Y, X, intercept, step, eps, log_u, radii, mu, sigma,
-                    lmbda, z):
+        def batched(Y, X, intercept, step, eps, log_u, radii, temper, mu,
+                    sigma, lmbda, z):
             C = X.shape[0]
             return node_scan_batch(
                 Y, X, b_shape(intercept, C), step, eps, log_u,
                 tau_sq=0.0, sigma_sq=1.0,
                 radii=radii if directed else None, mu=mu, sigma=sigma,
-                lmbda=jnp.reshape(lmbda, (C,)), z=z, mixture=True)
+                lmbda=jnp.reshape(lmbda, (C,)), z=z, mixture=True,
+                temper=jnp.reshape(temper, (C,)))
     else:
-        def single(Y, X, intercept, step, eps, log_u, radii, tau_sq,
-                   sigma_sq):
+        def single(Y, X, intercept, step, eps, log_u, radii, temper,
+                   tau_sq, sigma_sq):
             Xn, acc = node_scan_batch(
                 Y, X[None], b_shape(intercept, 1), step[None],
                 eps[None], log_u[None], tau_sq=tau_sq, sigma_sq=sigma_sq,
-                radii=radii[None] if directed else None, mixture=False)
+                radii=radii[None] if directed else None, mixture=False,
+                temper=jnp.reshape(temper, (1,)))
             return Xn[0], acc[0]
 
-        def batched(Y, X, intercept, step, eps, log_u, radii, tau_sq,
-                    sigma_sq):
+        def batched(Y, X, intercept, step, eps, log_u, radii, temper,
+                    tau_sq, sigma_sq):
             C = X.shape[0]
             return node_scan_batch(
                 Y, X, b_shape(intercept, C), step, eps, log_u,
                 tau_sq=jnp.broadcast_to(tau_sq, (C,)),
                 sigma_sq=jnp.broadcast_to(sigma_sq, (C,)),
-                radii=radii if directed else None, mixture=False)
+                radii=radii if directed else None, mixture=False,
+                temper=jnp.reshape(temper, (C,)))
 
-    def xla_chain(Y, X, intercept, step, eps, log_u, radii, *rest):
+    def xla_chain(Y, X, intercept, step, eps, log_u, radii, temper, *rest):
         from ..mcmc.latent import xla_exact_scan
         b = (jnp.reshape(intercept, (2,)) if directed
              else jnp.reshape(intercept, (1,)))
@@ -1256,11 +1283,13 @@ def _custom_vmap_scan(mixture, directed=False):
             mu, sigma, lmbda, z = rest
             return xla_exact_scan(Y, X, b, step, eps, log_u, radii=r,
                                   mu=mu, sigma=sigma, lmbda=lmbda, z=z,
-                                  is_directed=directed, mixture=True)
+                                  is_directed=directed, mixture=True,
+                                  temper=temper)
         tau_sq, sigma_sq = rest
         return xla_exact_scan(Y, X, b, step, eps, log_u, radii=r,
                               tau_sq=tau_sq, sigma_sq=sigma_sq,
-                              is_directed=directed, mixture=False)
+                              is_directed=directed, mixture=False,
+                              temper=temper)
 
     f = jax.custom_batching.custom_vmap(single)
 
@@ -1300,17 +1329,21 @@ def _custom_vmap_scan(mixture, directed=False):
 
 def node_scan_dispatch(Y, X, intercept, step_size, eps, log_u, *,
                        tau_sq=None, sigma_sq=None, radii=None, mu=None,
-                       sigma=None, lmbda=None, z=None, mixture=False):
+                       sigma=None, lmbda=None, z=None, mixture=False,
+                       temper=None):
     """Entry point used by mcmc.latent: batch-aware exact node scan.
 
     ``intercept`` is the (1,)/(2,) intercept vector; ``radii`` (n,) selects
-    the directed likelihood."""
+    the directed likelihood; ``temper`` an optional per-chain scalar
+    scaling the network log-lik delta (parallel tempering)."""
     directed = radii is not None
     f = _custom_vmap_scan(mixture, directed)
     b = intercept if directed else intercept[0]
     r = radii if directed else jnp.zeros((X.shape[1],), X.dtype)
+    t = (jnp.ones((), X.dtype) if temper is None
+         else jnp.asarray(temper, X.dtype))
     if mixture:
         return f(Y, X, jnp.asarray(b, X.dtype), step_size, eps,
-                 log_u, r, mu, sigma, jnp.asarray(lmbda, X.dtype), z)
-    return f(Y, X, jnp.asarray(b, X.dtype), step_size, eps, log_u, r,
+                 log_u, r, t, mu, sigma, jnp.asarray(lmbda, X.dtype), z)
+    return f(Y, X, jnp.asarray(b, X.dtype), step_size, eps, log_u, r, t,
              jnp.asarray(tau_sq, X.dtype), jnp.asarray(sigma_sq, X.dtype))

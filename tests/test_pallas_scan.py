@@ -456,3 +456,38 @@ def test_pallas_scan_chain_major_fullT_directed_lsm(rng):
                                       np.asarray(acc_pal)[c])
         np.testing.assert_allclose(np.asarray(X_xla),
                                    np.asarray(X_pal)[c], atol=1e-6)
+
+
+def test_pallas_scan_tempered_parity(rng):
+    """The tempering params lane scales exactly the network log-lik delta:
+    the tempered kernel matches the tempered XLA scan bit for bit, for
+    both the full-T (T <= 8) and phase-split (T > 8) variants and both
+    prior families (the lane reuses the prior family's unused params
+    row)."""
+    for T, mixture in ((4, False), (10, False), (4, True), (10, True)):
+        X, Y, radii, step, eps, log_u = _setup_directed(rng, T=T)
+        b = np.array([0.4, 0.8], np.float32)
+        temper = np.float32(0.35)
+        kwargs = dict(tau_sq=2.0, sigma_sq=0.1, mixture=False)
+        if mixture:
+            n, d, K = X.shape[1], X.shape[2], 3
+            kwargs = dict(
+                mu=jnp.asarray(rng.randn(K, d).astype(np.float32)),
+                sigma=jnp.asarray((rng.rand(K) + 0.3).astype(np.float32)),
+                lmbda=jnp.float32(0.8),
+                z=jnp.asarray(rng.randint(0, K, (T, n)).astype(np.int32)),
+                mixture=True)
+        X_xla, acc_xla = _xla_ref(Y, X, b, step, eps, log_u, radii=radii,
+                                  temper=jnp.float32(temper), **kwargs)
+        X_pal, acc_pal = _node_scan_with_noise(
+            jnp.asarray(Y), jnp.asarray(X), jnp.asarray(b),
+            jnp.asarray(step), jnp.asarray(eps), jnp.asarray(log_u),
+            radii=jnp.asarray(radii), temper=jnp.float32(temper),
+            interpret=True, **kwargs)
+        np.testing.assert_array_equal(np.asarray(acc_xla),
+                                      np.asarray(acc_pal))
+        np.testing.assert_allclose(np.asarray(X_xla), np.asarray(X_pal),
+                                   atol=1e-6)
+        # the tempered chain must actually differ from the untempered one
+        X_un, _ = _xla_ref(Y, X, b, step, eps, log_u, radii=radii, **kwargs)
+        assert np.abs(np.asarray(X_un) - np.asarray(X_xla)).max() > 0
