@@ -17,7 +17,9 @@ Per sweep every (t, j) site receives exactly one MH proposal, as in the
 reference; only the scan *order* differs (nodes-outer instead of
 times-outer), which leaves the stationary distribution unchanged.
 """
-from functools import partial
+from functools import lru_cache, partial
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -320,6 +322,136 @@ def _mixture_prior_class(xs, x_cur, mu_z, sigma_z, lmbda):
     return back + fwd
 
 
+def _cc_colored_scan_impl(X, intercept, step_size, eps, log_u, radii,
+                          tau_sq, sigma_sq, muz, sigz, lmbda, temper,
+                          groups, in_edges, out_edges, degrees, ctrl_in,
+                          ctrl_out, *, is_directed, mixture):
+    """Single-chain body of the chromatic scan (see
+    :func:`cc_colored_scan`).  ``muz`` (T, n, d) / ``sigz`` (T, n) are the
+    per-site cluster parameters, pre-gathered once per sweep; ``degrees``
+    is (T, n, 2) directed / (T, n) undirected; ``temper`` a scalar
+    (1.0 when untempered — an exact multiply)."""
+    from ..ops.case_control import (
+        class_partial_loglik_concat, _gather_partners as _cc_gather)
+
+    T, n, d = X.shape
+    t_idx = jnp.arange(T)[:, None]
+    n_colors = groups.shape[0]
+    # ONE concatenated partner-index table: a single position gather per
+    # class instead of one per edge/control set (the scan is
+    # gather-dispatch-bound, ~10 ns/row + per-op overhead)
+    tables = ((in_edges, out_edges, ctrl_in, ctrl_out) if is_directed
+              else (out_edges, ctrl_out))
+    widths = [t.shape[-1] for t in tables]
+    offsets = (0,) + tuple(int(v) for v in np.cumsum(widths))
+    idx_table = jnp.concatenate(tables, axis=-1)         # (T, n, Mtot)
+    sender = np.zeros((1, 1, offsets[-1]), bool)
+    if is_directed:
+        sender[..., offsets[1]:offsets[2]] = True        # out edges
+        sender[..., offsets[3]:offsets[4]] = True        # ctrl_out
+    sender_mask = jnp.asarray(sender)
+
+    def color_body(c, carry):
+        X, acc = carry
+        nodes = groups[c]                                # (S,)
+        valid = nodes >= 0
+        safe = jnp.maximum(nodes, 0)
+        oob = jnp.where(valid, nodes, n)                 # drop pad scatters
+
+        step_j = jnp.take(step_size, safe, axis=1)       # (T, S)
+        idx_all = jnp.take(idx_table, safe, axis=1)      # (T, S, Mtot)
+        deg_j = jnp.take(degrees, safe, axis=1)
+        if is_directed:
+            # partner radii ride the position gather as a third feature
+            # column — one 12 B row per partner instead of a second
+            # element-wise radii gather (the scan is gather-row-bound)
+            Xr = jnp.concatenate(
+                [X, jnp.broadcast_to(radii[None, :, None], (T, n, 1))],
+                axis=-1)
+            gath = _cc_gather(Xr, idx_all)               # (T, S, Mtot, d+1)
+            pos_all = gath[..., :d]
+            r_all = gath[..., d]
+            r_self = radii[safe]
+        else:
+            pos_all = _cc_gather(X, idx_all)             # (T, S, Mtot, d)
+            r_all = r_self = None
+        if mixture:
+            mu_j = jnp.take(muz, safe, axis=1)           # (T, S, d)
+            sig_j = jnp.take(sigz, safe, axis=1)         # (T, S)
+
+        def class_ll(xq):
+            return class_partial_loglik_concat(
+                xq, idx_all, pos_all, r_all, r_self, sender_mask, offsets,
+                deg_j, intercept[0], intercept[1] if is_directed else None,
+                n, is_directed)
+
+        x_cur = jnp.take(X, safe, axis=1)                # (T, S, d)
+        for phase in (0, 1):
+            eps_j = jnp.moveaxis(jnp.take(eps[phase], safe, axis=0), 0, 1)
+            u_j = jnp.take(log_u[phase], safe, axis=0).T  # (T, S)
+            x_prop = x_cur + step_j[..., None] * eps_j
+
+            delta_ll = temper * (class_ll(x_prop) - class_ll(x_cur))
+            if mixture:
+                lp = _mixture_prior_class(x_prop, x_cur, mu_j, sig_j, lmbda)
+                lc = _mixture_prior_class(x_cur, x_cur, mu_j, sig_j, lmbda)
+            else:
+                lp = _rw_prior_class(x_prop, x_cur, tau_sq, sigma_sq)
+                lc = _rw_prior_class(x_cur, x_cur, tau_sq, sigma_sq)
+            ratio = delta_ll + lp - lc
+            in_phase = (t_idx % 2) == phase
+            accept = jnp.logical_and(u_j < ratio, in_phase)
+            accept = jnp.logical_and(accept, valid[None, :])
+            x_cur = jnp.where(accept[..., None], x_prop, x_cur)
+            acc = acc.at[:, oob].add(accept.astype(X.dtype), mode='drop')
+        X = X.at[:, oob].set(x_cur, mode='drop')
+        return X, acc
+
+    return jax.lax.fori_loop(0, n_colors, color_body,
+                             (X, jnp.zeros((T, n), X.dtype)))
+
+
+# flat-arg positions in _cc_colored_scan_impl / the custom_vmap wrapper
+_CC_OUT_EDGES_ARG = 14
+_CC_CTRL_ARGS = (16, 17)
+
+
+@lru_cache(maxsize=None)
+def _colored_scan_vmap(is_directed, mixture):
+    """custom_vmap wrapper for the chromatic scan: when the driver vmaps
+    the sweep over chains, the control-index tensors (per-chain state
+    leaves) would become batched gather indices — which XLA lowers ~10x
+    slower than shared-index gathers (measured 1.2 vs 12.8 GB/s at 16
+    chains).  The colored path draws controls from a chain-invariant key
+    (sweeps._refresh_controls), so the batched control tensors are
+    chain-identical by construction; this rule drops their batch axis
+    (slice 0) whenever the edge structure itself is shared, restoring the
+    fast shared-index gather.  Per-chain edge structures (missing-dyad
+    fits rebuild per-chain lists) keep the batched indices — correctness
+    before speed."""
+
+    def single(*args):
+        return _cc_colored_scan_impl(*args, is_directed=is_directed,
+                                     mixture=mixture)
+
+    f = jax.custom_batching.custom_vmap(single)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = list(args)
+        batched = list(in_batched)
+        if not batched[_CC_OUT_EDGES_ARG]:
+            for i in _CC_CTRL_ARGS:
+                if batched[i]:
+                    args[i] = args[i][0]
+                    batched[i] = False
+        in_axes = tuple(0 if b else None for b in batched)
+        out = jax.vmap(single, in_axes=in_axes)(*args)
+        return out, (True, True)
+
+    return f
+
+
 def cc_colored_scan(X, intercept, step_size, eps, log_u, *, radii=None,
                     tau_sq=None, sigma_sq=None, mu=None, sigma=None,
                     lmbda=None, z=None, cc=None, is_directed=False,
@@ -343,84 +475,33 @@ def cc_colored_scan(X, intercept, step_size, eps, log_u, *, radii=None,
     sequential scan and consumes the identical per-node proposal stream
     (eps (2, n, T, d), log_u (2, n, T)), so with singleton classes in
     index order it is bit-identical to :func:`xla_exact_scan`
-    (tests/test_case_control.py).
+    (tests/test_case_control.py).  The per-site cluster parameters come
+    from a one-hot MXU contraction (exact — a single non-zero term per
+    site) hoisted out of the color loop.
     """
-    from ..ops.case_control import (
-        class_directed_partial_loglik, class_undirected_partial_loglik,
-        _gather_partners as _cc_gather)
-
-    T, n, d = X.shape
-    t_idx = jnp.arange(T)[:, None]
-    groups = cc['color_groups']                          # (n_colors, S)
-    n_colors = groups.shape[0]
-
-    def gather_sets(X, safe):
-        """Pre-gather partner (idx, pos[, radii]) per control/edge set —
-        partners are never in the updating class, so one gather serves
-        both phases and both candidates."""
-        out = {'degrees': (jnp.take(cc['degrees'], safe, axis=1)
-                           if is_directed else
-                           jnp.take(cc['degrees'][..., 1], safe, axis=1))}
-        names = (('in_edges', 'out_edges', 'ctrl_in', 'ctrl_out')
-                 if is_directed else ('out_edges', 'ctrl_out'))
-        for name in names:
-            idx = jnp.take(cc[name], safe, axis=1)       # (T, S, M)
-            pos = _cc_gather(X, idx)                     # (T, S, M, d)
-            if is_directed:
-                out[name] = (idx, pos, radii[jnp.maximum(idx, 0)])
-            else:
-                out[name] = (idx, pos)
-        return out
-
-    def color_body(c, carry):
-        X, acc = carry
-        nodes = groups[c]                                # (S,)
-        valid = nodes >= 0
-        safe = jnp.maximum(nodes, 0)
-        oob = jnp.where(valid, nodes, n)                 # drop pad scatters
-
-        step_j = jnp.take(step_size, safe, axis=1)       # (T, S)
-        partners = gather_sets(X, safe)
-        if is_directed:
-            r_self = radii[safe]
-        if mixture:
-            z_j = jnp.take(z, safe, axis=1)              # (T, S)
-            mu_j = mu[z_j]                               # (T, S, d)
-            sig_j = sigma[z_j]                           # (T, S)
-
-        def class_ll(xq):
-            if is_directed:
-                return class_directed_partial_loglik(
-                    xq, partners, r_self, intercept[0], intercept[1], n)
-            return class_undirected_partial_loglik(
-                xq, partners, intercept[0], n)
-
-        x_cur = jnp.take(X, safe, axis=1)                # (T, S, d)
-        for phase in (0, 1):
-            eps_j = jnp.moveaxis(jnp.take(eps[phase], safe, axis=0), 0, 1)
-            u_j = jnp.take(log_u[phase], safe, axis=0).T  # (T, S)
-            x_prop = x_cur + step_j[..., None] * eps_j
-
-            delta_ll = class_ll(x_prop) - class_ll(x_cur)
-            if mixture:
-                lp = _mixture_prior_class(x_prop, x_cur, mu_j, sig_j, lmbda)
-                lc = _mixture_prior_class(x_cur, x_cur, mu_j, sig_j, lmbda)
-            else:
-                lp = _rw_prior_class(x_prop, x_cur, tau_sq, sigma_sq)
-                lc = _rw_prior_class(x_cur, x_cur, tau_sq, sigma_sq)
-            if temper is not None:
-                delta_ll = temper * delta_ll
-            ratio = delta_ll + lp - lc
-            in_phase = (t_idx % 2) == phase
-            accept = jnp.logical_and(u_j < ratio, in_phase)
-            accept = jnp.logical_and(accept, valid[None, :])
-            x_cur = jnp.where(accept[..., None], x_prop, x_cur)
-            acc = acc.at[:, oob].add(accept.astype(X.dtype), mode='drop')
-        X = X.at[:, oob].set(x_cur, mode='drop')
-        return X, acc
-
-    return jax.lax.fori_loop(0, n_colors, color_body,
-                             (X, jnp.zeros((T, n), X.dtype)))
+    f32 = X.dtype
+    if mixture:
+        K = mu.shape[0]
+        resp = jax.nn.one_hot(z, K, dtype=f32)           # (T, n, K)
+        muz = jnp.einsum('tnk,kd->tnd', resp, mu, precision='highest')
+        sigz = jnp.einsum('tnk,k->tn', resp, sigma, precision='highest')
+        lam = jnp.asarray(lmbda, f32)
+        tau = sig = jnp.ones((), f32)
+    else:
+        muz = sigz = jnp.zeros((), f32)
+        lam = jnp.ones((), f32)
+        tau = jnp.asarray(tau_sq, f32)
+        sig = jnp.asarray(sigma_sq, f32)
+    r = radii if is_directed else jnp.zeros((), f32)
+    ie = cc['in_edges'] if is_directed else jnp.zeros((), jnp.int32)
+    ci = cc['ctrl_in'] if is_directed else jnp.zeros((), jnp.int32)
+    deg = cc['degrees'] if is_directed else cc['degrees'][..., 1]
+    t = (jnp.ones((), f32) if temper is None
+         else jnp.asarray(temper, f32))
+    fn = _colored_scan_vmap(is_directed, mixture)
+    return fn(X, jnp.asarray(intercept, f32), step_size, eps, log_u, r,
+              tau, sig, muz, sigz, lam, t, cc['color_groups'], ie,
+              cc['out_edges'], deg, ci, cc['ctrl_out'])
 
 
 @partial(jax.jit, static_argnames=('is_directed', 'mixture', 'scheme'))

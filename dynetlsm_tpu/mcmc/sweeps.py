@@ -128,12 +128,12 @@ def _network_loglik(cfg, Y, dist, intercept, radii, X=None, cc=None):
         if cc is not None:
             return approx_directed_loglik_full(
                 X, radii, cc['out_edges'], cc['degrees'], cc['ctrl_out'],
-                intercept[0], intercept[1])
+                intercept[0], intercept[1], shared_ctrl='colors' in cc)
         return directed_loglik_full(Y, dist, radii, intercept[0], intercept[1])
     if cc is not None:
         return approx_undirected_loglik_full(
             X, cc['out_edges'], cc['degrees'][..., 1], cc['ctrl_out'],
-            intercept[0])
+            intercept[0], shared_ctrl='colors' in cc)
     return undirected_loglik_full(Y, dist, intercept[0])
 
 
@@ -158,16 +158,24 @@ def _refresh_controls(cfg, key, state, Y, lists, cc_static, it_hint=None):
     degrades to the run-both-branches select rather than an error.
     """
 
+    it = state.it if it_hint is None else it_hint
+
     def redraw(_):
         if 'colors' in cc_static:
             from ..ops.case_control import sample_controls_colored
-            return sample_controls_colored(key, lists, cc_static['colors'],
+            # chain-INVARIANT key: all chains share one control set per
+            # redraw window, so every chain targets the same surrogate
+            # posterior (valid cross-chain R-hat) and the control-index
+            # gathers stay shared-index — ~10x faster than per-chain
+            # batched-index gathers (see case_control._shared_idx_vmap)
+            k = jax.random.fold_in(cc_static['ctrl_key'],
+                                   jnp.asarray(it, jnp.int32))
+            return sample_controls_colored(k, lists, cc_static['colors'],
                                            cfg.n_control,
                                            directed=cfg.is_directed)
         return sample_control_nodes(key, Y, cfg.n_control,
                                     directed=cfg.is_directed)
 
-    it = state.it if it_hint is None else it_hint
     do = (it % cfg.n_resample_control) == 0
     return jax.lax.cond(do, redraw,
                         lambda _: (state.ctrl_in, state.ctrl_out), None)
@@ -184,6 +192,7 @@ def build_cc_dict(cfg, Y, cc_static, ctrl_in, ctrl_out):
              if cfg.sample_missing else cc_static)
     cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
     cc.pop('max_deg', None)
+    cc.pop('ctrl_key', None)
     for k in ('colors', 'color_groups'):
         if k in cc_static:
             cc[k] = cc_static[k]
@@ -202,6 +211,7 @@ def _cc_structures(cfg, key, state, Y, cc_static, it_hint=None):
                                           cc_static, it_hint)
     cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
     cc.pop('max_deg', None)
+    cc.pop('ctrl_key', None)
     for k in ('colors', 'color_groups'):
         if k in cc_static:
             cc[k] = cc_static[k]

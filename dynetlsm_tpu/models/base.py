@@ -185,8 +185,13 @@ def build_case_control(cfg, Y_dev, Y_host, rng, miss_mask=None):
         seed=rng.randint(0, 2 ** 31 - 1))
     cc_static['colors'] = jnp.asarray(colors)
     cc_static['color_groups'] = jnp.asarray(groups)
+    # chain-invariant control key: every chain shares one control set per
+    # redraw window (one surrogate posterior across chains, shared-index
+    # gathers — see mcmc.sweeps._refresh_controls); the initial draw uses
+    # the same key the first sweep's redraw will fold at it=0
+    cc_static['ctrl_key'] = jax.random.PRNGKey(rng.randint(0, 2 ** 31 - 1))
     ctrl = sample_controls_colored(
-        jax.random.PRNGKey(rng.randint(0, 2 ** 31 - 1)),
+        jax.random.fold_in(cc_static['ctrl_key'], 0),
         {k: jnp.asarray(v) for k, v in lists.items()},
         cc_static['colors'], cfg.n_control, directed=cfg.is_directed)
     return cc_static, ctrl

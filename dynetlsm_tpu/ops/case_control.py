@@ -244,64 +244,58 @@ def sample_controls_colored(key, lists, colors, n_control, directed=True):
     return draw(k_in, lists['in_edges']), ctrl_out
 
 
-def class_directed_partial_loglik(x_new, partners, radii_self, b_in, b_out,
-                                  n):
-    """Case-control per-node log-likelihood for a whole color class at
-    once: node s of the class evaluated at ``x_new[:, s]`` against
-    pre-gathered partner positions (directed social-radii model,
-    reference directed_likelihoods_fast.pyx:83-182).
+def class_partial_loglik_concat(x_new, idx_all, pos_all, r_all, r_self,
+                                sender_mask, offsets, degrees, b_in, b_out,
+                                n, is_directed):
+    """Case-control per-node log-likelihood for a whole color class from
+    ONE concatenated partner table (directed: [in_edges | out_edges |
+    ctrl_in | ctrl_out]; undirected: [out_edges | ctrl_out]) — a single
+    position gather per class instead of one per set (the colored scan is
+    gather-dispatch-bound).  Reference formulas:
+    directed_likelihoods_fast.pyx:83-182 / static_network_fast.pyx:47-94.
 
-    ``partners``: dict with per-set (idx (T, S, M), pos (T, S, M, d),
-    radii (T, S, M)) for in_edges / out_edges / ctrl_in / ctrl_out plus
-    degrees (T, S, 2).  x_new (T, S, d); radii_self (S,).  Returns (T, S).
+    x_new (T, S, d); idx_all (T, S, Mtot); pos_all (T, S, Mtot, d);
+    r_all (T, S, Mtot) partner radii / r_self (S,) (directed);
+    sender_mask (1, 1, Mtot) — 1 where the node is the dyad's sender;
+    offsets: static per-set boundaries; degrees (T, S, 2) directed /
+    (T, S) undirected.  Returns (T, S).
     """
-    r_self = radii_self[None, :, None]                   # (1, S, 1)
+    dist = _dist_to(pos_all, x_new)                      # (T, S, Mtot)
+    valid = idx_all >= 0
+    if is_directed:
+        rs = r_self[None, :, None]
+        # eta for a dyad where the node sends: b_in(1-d/r_other) +
+        # b_out(1-d/r_self); receiving swaps the radii — one select keeps
+        # the expression structure of the per-set reference formulas
+        r_bin = jnp.where(sender_mask, r_all, rs)
+        r_bout = jnp.where(sender_mask, rs, r_all)
+        eta = (b_in * (1.0 - dist / r_bin)
+               + b_out * (1.0 - dist / r_bout))
+    else:
+        eta = b_in - dist
+    sp = jax.nn.softplus(eta)
 
-    def eta_for(key, self_is_sender):
-        idx, pos, r_other = partners[key]
-        dist = _dist_to(pos, x_new)                      # (T, S, M)
-        if self_is_sender:
-            return idx, (b_in * (1.0 - dist / r_other)
-                         + b_out * (1.0 - dist / r_self))
-        return idx, (b_in * (1.0 - dist / r_self)
-                     + b_out * (1.0 - dist / r_other))
+    def seg(a, i):
+        return a[..., offsets[i]:offsets[i + 1]]
 
-    def edge_term(key, self_is_sender):
-        idx, eta = eta_for(key, self_is_sender)
-        term = eta - jax.nn.softplus(eta)
-        return jnp.sum(jnp.where(idx >= 0, term, 0.0), axis=-1)
+    def edge_term(i):
+        return jnp.sum(jnp.where(seg(valid, i), seg(eta, i) - seg(sp, i),
+                                 0.0), axis=-1)
 
-    def control_term(key, degree, self_is_sender):
-        idx, eta = eta_for(key, self_is_sender)
-        valid = idx >= 0
-        n_valid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
-        ctrl = jnp.sum(jnp.where(valid, jax.nn.softplus(eta), 0.0), axis=-1)
+    def control_term(i, degree):
+        v = seg(valid, i)
+        n_valid = jnp.maximum(jnp.sum(v, axis=-1), 1)
+        ctrl = jnp.sum(jnp.where(v, seg(sp, i), 0.0), axis=-1)
         return (n - degree - 1).astype(ctrl.dtype) / n_valid * ctrl
 
-    degrees = partners['degrees']
-    ll = edge_term('in_edges', self_is_sender=False)
-    ll += edge_term('out_edges', self_is_sender=True)
-    ll -= control_term('ctrl_in', degrees[..., 0], self_is_sender=False)
-    ll -= control_term('ctrl_out', degrees[..., 1], self_is_sender=True)
-    return ll
-
-
-def class_undirected_partial_loglik(x_new, partners, intercept, n):
-    """Undirected analog of :func:`class_directed_partial_loglik`
-    (reference static_network_fast.pyx:47-94).  partners: dict with
-    out_edges / ctrl_out (idx, pos) and degrees (T, S).  Returns (T, S)."""
-    idx_e, pos_e = partners['out_edges'][:2]
-    eta_e = intercept - _dist_to(pos_e, x_new)
-    ll = jnp.sum(jnp.where(idx_e >= 0, eta_e - jax.nn.softplus(eta_e), 0.0),
-                 axis=-1)
-
-    idx_c, pos_c = partners['ctrl_out'][:2]
-    valid = idx_c >= 0
-    n_valid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
-    eta_c = intercept - _dist_to(pos_c, x_new)
-    ctrl = jnp.sum(jnp.where(valid, jax.nn.softplus(eta_c), 0.0), axis=-1)
-    degrees = partners['degrees']
-    return ll - (n - degrees - 1).astype(ctrl.dtype) / n_valid * ctrl
+    if is_directed:
+        ll = edge_term(0)                                # in edges
+        ll += edge_term(1)                               # out edges
+        ll -= control_term(2, degrees[..., 0])           # ctrl_in
+        ll -= control_term(3, degrees[..., 1])           # ctrl_out
+        return ll
+    ll = edge_term(0)
+    return ll - control_term(1, degrees)
 
 
 def _gather_partners(X, idx):
@@ -361,33 +355,84 @@ def approx_directed_partial_loglik(X, radii, node_id, x_new, in_edges,
     return ll
 
 
-def approx_directed_loglik_full(X, radii, out_edges, degrees, control_out,
-                                intercept_in, intercept_out):
-    """Case-control full network log-likelihood: exact out-edge terms plus
-    scaled control estimates, summed over (t, i)
-    (reference directed_likelihoods_fast.pyx:208-270).
+def _shared_idx_vmap(single, out_edges_arg, ctrl_args):
+    """custom_vmap factory for cc evaluators: under a chain-vmapped sweep
+    the control tensors are per-chain state leaves, so their gathers would
+    lower as batched-index gathers — ~10x slower than shared-index gathers
+    (measured 1.2 vs 12.8 GB/s at 16 chains).  The colored path draws
+    controls from a chain-invariant key, so the batched control tensors
+    are chain-identical; drop their batch axis (slice 0) whenever the edge
+    structure itself is shared.  Per-chain edge structures (missing-dyad
+    fits) keep batched indices — correctness before speed."""
+    f = jax.custom_batching.custom_vmap(single)
 
-    X (T, n, d); out_edges (T, n, max_out); control_out (T, n, m).
-    """
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = list(args)
+        batched = list(in_batched)
+        if not batched[out_edges_arg]:
+            for i in ctrl_args:
+                if batched[i]:
+                    args[i] = args[i][0]
+                    batched[i] = False
+        in_axes = tuple(0 if b else None for b in batched)
+        out = jax.vmap(single, in_axes=in_axes)(*args)
+        return out, True
+
+    return f
+
+
+def _approx_directed_full(X, radii, out_edges, degrees, control_out,
+                          intercept_in, intercept_out):
     T, n, d = X.shape
     r_self = radii[None, :, None]                            # sender radius
+    # partner radii ride the position gather as a third feature column —
+    # one 12 B row per partner instead of a second element-wise gather
+    Xr = jnp.concatenate(
+        [X, jnp.broadcast_to(radii[None, :, None], (T, n, 1))], axis=-1)
 
     valid_e = out_edges >= 0
-    dist_e = _dist_to(_gather_partners(X, out_edges), X)     # (T, n, max_out)
-    r_other = radii[jnp.maximum(out_edges, 0)]
+    ge = _gather_partners(Xr, out_edges)                     # (T,n,Mo,d+1)
+    dist_e = _dist_to(ge[..., :d], X)                        # (T, n, max_out)
+    r_other = ge[..., d]
     eta_e = (intercept_in * (1.0 - dist_e / r_other)
              + intercept_out * (1.0 - dist_e / r_self))
     ll = jnp.sum(jnp.where(valid_e, eta_e - jax.nn.softplus(eta_e), 0.0))
 
     valid_c = control_out >= 0
     n_valid = jnp.maximum(jnp.sum(valid_c, axis=-1), 1)      # (T, n)
-    dist_c = _dist_to(_gather_partners(X, control_out), X)
-    r_other_c = radii[jnp.maximum(control_out, 0)]
+    gc = _gather_partners(Xr, control_out)
+    dist_c = _dist_to(gc[..., :d], X)
+    r_other_c = gc[..., d]
     eta_c = (intercept_in * (1.0 - dist_c / r_other_c)
              + intercept_out * (1.0 - dist_c / r_self))
     ctrl = jnp.sum(jnp.where(valid_c, jax.nn.softplus(eta_c), 0.0), axis=-1)
     adj = (n - degrees[..., 1] - 1).astype(ctrl.dtype) / n_valid
     return ll - jnp.sum(adj * ctrl)
+
+
+_directed_full_vmap = _shared_idx_vmap(_approx_directed_full,
+                                       out_edges_arg=2, ctrl_args=(4,))
+
+
+def approx_directed_loglik_full(X, radii, out_edges, degrees, control_out,
+                                intercept_in, intercept_out,
+                                shared_ctrl=False):
+    """Case-control full network log-likelihood: exact out-edge terms plus
+    scaled control estimates, summed over (t, i)
+    (reference directed_likelihoods_fast.pyx:208-270).
+
+    X (T, n, d); out_edges (T, n, max_out); control_out (T, n, m).
+    ``shared_ctrl=True`` declares that any vmap batching of the control
+    tensor is chain-replication of ONE shared control set (the colored
+    sweep's contract) — the gathers then drop the batch axis of the
+    indices (see :func:`_shared_idx_vmap`).  Leave False when vmapping
+    over genuinely distinct control draws.
+    """
+    dt = X.dtype
+    fn = _directed_full_vmap if shared_ctrl else _approx_directed_full
+    return fn(X, radii, out_edges, degrees, control_out,
+              jnp.asarray(intercept_in, dt), jnp.asarray(intercept_out, dt))
 
 
 def approx_undirected_partial_loglik(X, x_new, edges, degrees, controls,
@@ -415,15 +460,7 @@ def approx_undirected_partial_loglik(X, x_new, edges, degrees, controls,
     return ll - (n - degrees - 1).astype(ctrl.dtype) / n_valid * ctrl
 
 
-def approx_undirected_loglik_full(X, edges, degrees, controls, intercept):
-    """Undirected case-control full network log-likelihood: per-row exact
-    edge terms plus scaled control estimates, halved because each dyad
-    appears in two rows (undirected analog of
-    directed_likelihoods_fast.pyx:208-270; the reference never ships a full
-    undirected approximation).
-
-    X (T, n, d); edges (T, n, max_deg); controls (T, n, m); degrees (T, n).
-    """
+def _approx_undirected_full(X, edges, degrees, controls, intercept):
     n = X.shape[1]
 
     valid_e = edges >= 0
@@ -438,6 +475,25 @@ def approx_undirected_loglik_full(X, edges, degrees, controls, intercept):
     ctrl = jnp.sum(jnp.where(valid_c, jax.nn.softplus(eta_c), 0.0), axis=-1)
     adj = (n - degrees - 1).astype(ctrl.dtype) / n_valid
     return 0.5 * (ll - jnp.sum(adj * ctrl))
+
+
+_undirected_full_vmap = _shared_idx_vmap(_approx_undirected_full,
+                                         out_edges_arg=1, ctrl_args=(3,))
+
+
+def approx_undirected_loglik_full(X, edges, degrees, controls, intercept,
+                                  shared_ctrl=False):
+    """Undirected case-control full network log-likelihood: per-row exact
+    edge terms plus scaled control estimates, halved because each dyad
+    appears in two rows (undirected analog of
+    directed_likelihoods_fast.pyx:208-270; the reference never ships a full
+    undirected approximation).
+
+    X (T, n, d); edges (T, n, max_deg); controls (T, n, m); degrees (T, n).
+    ``shared_ctrl``: see :func:`approx_directed_loglik_full`.
+    """
+    fn = _undirected_full_vmap if shared_ctrl else _approx_undirected_full
+    return fn(X, edges, degrees, controls, jnp.asarray(intercept, X.dtype))
 
 
 def approx_partial_loglik_all(X, Xq, cc, intercept, radii, is_directed):
