@@ -470,7 +470,7 @@ def run_cc_n2048(chunk):
     fallback took ~274 s/sweep and tripped the TPU watchdog in round 4;
     the chromatic scan serves it in milliseconds."""
     m = int(os.environ.get('BENCH_CC_CONTROL', '145'))
-    n_chains = int(os.environ.get('BENCH_CC2048_CHAINS', '32'))
+    n_chains = int(os.environ.get('BENCH_CC2048_CHAINS', '64'))
     Y = northstar_network(n=2048, directed=True)
     state, sweep = build_state_and_sweep(
         Y, n_chains, K=25, quality_init=False, is_directed=True,

@@ -327,7 +327,9 @@ def _cc_colored_scan_impl(X, intercept, step_size, eps, log_u, radii,
                           groups, in_edges, out_edges, degrees, ctrl_in,
                           ctrl_out, *, is_directed, mixture):
     """Single-chain body of the chromatic scan (see
-    :func:`cc_colored_scan`).  ``muz`` (T, n, d) / ``sigz`` (T, n) are the
+    :func:`cc_colored_scan`).  ``groups`` is the per-timestep class table
+    (n_colors, T, S): class c updates sites {(t, groups[c, t, s])} in two
+    time-parity phases.  ``muz`` (T, n, d) / ``sigz`` (T, n) are the
     per-site cluster parameters, pre-gathered once per sweep; ``degrees``
     is (T, n, 2) directed / (T, n) undirected; ``temper`` a scalar
     (1.0 when untempered — an exact multiply)."""
@@ -336,6 +338,8 @@ def _cc_colored_scan_impl(X, intercept, step_size, eps, log_u, radii,
 
     T, n, d = X.shape
     t_idx = jnp.arange(T)[:, None]
+    t_prev = jnp.maximum(t_idx - 1, 0)
+    t_next = jnp.minimum(t_idx + 1, T - 1)
     n_colors = groups.shape[0]
     # ONE concatenated partner-index table: a single position gather per
     # class instead of one per edge/control set (the scan is
@@ -351,16 +355,36 @@ def _cc_colored_scan_impl(X, intercept, step_size, eps, log_u, radii,
         sender[..., offsets[3]:offsets[4]] = True        # ctrl_out
     sender_mask = jnp.asarray(sender)
 
+    def _prior(xs, prev, nxt, mu_j, mu_nxt, sig_j, sig_nxt):
+        """Per-site log-prior terms with temporal neighbours gathered
+        fresh from the field (a site's t+-1 neighbour is the SAME node at
+        another time, which may belong to a different class).  Same
+        arithmetic as _mixture_prior_class / _rw_prior_class."""
+        if mixture:
+            diff0 = xs - mu_j
+            difft = xs - (1.0 - lmbda) * prev - lmbda * mu_j
+            diff = jnp.where((t_idx == 0)[..., None], diff0, difft)
+            back = -0.5 * jnp.sum(diff * diff, axis=-1) / sig_j
+            fdiff = nxt - (1.0 - lmbda) * xs - lmbda * mu_nxt
+            fwd = -0.5 * jnp.sum(fdiff * fdiff, axis=-1) / sig_nxt
+        else:
+            back0 = -0.5 * jnp.sum(xs * xs, axis=-1) / tau_sq
+            backt = -0.5 * jnp.sum((xs - prev) ** 2, axis=-1) / sigma_sq
+            back = jnp.where(t_idx == 0, back0, backt)
+            fwd = -0.5 * jnp.sum((nxt - xs) ** 2, axis=-1) / sigma_sq
+        fwd = jnp.where(t_idx == T - 1, 0.0, fwd)
+        return back + fwd
+
     def color_body(c, carry):
         X, acc = carry
-        nodes = groups[c]                                # (S,)
+        nodes = groups[c]                                # (T, S)
         valid = nodes >= 0
         safe = jnp.maximum(nodes, 0)
         oob = jnp.where(valid, nodes, n)                 # drop pad scatters
 
-        step_j = jnp.take(step_size, safe, axis=1)       # (T, S)
-        idx_all = jnp.take(idx_table, safe, axis=1)      # (T, S, Mtot)
-        deg_j = jnp.take(degrees, safe, axis=1)
+        step_j = step_size[t_idx, safe]                  # (T, S)
+        idx_all = idx_table[t_idx, safe]                 # (T, S, Mtot)
+        deg_j = degrees[t_idx, safe]
         if is_directed:
             # partner radii ride the position gather as a third feature
             # column — one 12 B row per partner instead of a second
@@ -371,13 +395,17 @@ def _cc_colored_scan_impl(X, intercept, step_size, eps, log_u, radii,
             gath = _cc_gather(Xr, idx_all)               # (T, S, Mtot, d+1)
             pos_all = gath[..., :d]
             r_all = gath[..., d]
-            r_self = radii[safe]
+            r_self = radii[safe]                         # (T, S)
         else:
             pos_all = _cc_gather(X, idx_all)             # (T, S, Mtot, d)
             r_all = r_self = None
         if mixture:
-            mu_j = jnp.take(muz, safe, axis=1)           # (T, S, d)
-            sig_j = jnp.take(sigz, safe, axis=1)         # (T, S)
+            mu_j = muz[t_idx, safe]                      # (T, S, d)
+            sig_j = sigz[t_idx, safe]                    # (T, S)
+            mu_nxt = muz[t_next, safe]
+            sig_nxt = sigz[t_next, safe]
+        else:
+            mu_j = mu_nxt = sig_j = sig_nxt = None
 
         def class_ll(xq):
             return class_partial_loglik_concat(
@@ -385,26 +413,28 @@ def _cc_colored_scan_impl(X, intercept, step_size, eps, log_u, radii,
                 deg_j, intercept[0], intercept[1] if is_directed else None,
                 n, is_directed)
 
-        x_cur = jnp.take(X, safe, axis=1)                # (T, S, d)
         for phase in (0, 1):
-            eps_j = jnp.moveaxis(jnp.take(eps[phase], safe, axis=0), 0, 1)
-            u_j = jnp.take(log_u[phase], safe, axis=0).T  # (T, S)
+            # neighbours re-gathered per phase: phase 0's accepted even
+            # rows are phase 1's odd-row temporal neighbours, and with
+            # per-t classes they may live in this same class's table
+            x_cur = X[t_idx, safe]                       # (T, S, d)
+            prev = X[t_prev, safe]
+            nxt = X[t_next, safe]
+            eps_j = eps[phase][safe, t_idx]              # (T, S, d)
+            u_j = log_u[phase][safe, t_idx]              # (T, S)
             x_prop = x_cur + step_j[..., None] * eps_j
 
             delta_ll = temper * (class_ll(x_prop) - class_ll(x_cur))
-            if mixture:
-                lp = _mixture_prior_class(x_prop, x_cur, mu_j, sig_j, lmbda)
-                lc = _mixture_prior_class(x_cur, x_cur, mu_j, sig_j, lmbda)
-            else:
-                lp = _rw_prior_class(x_prop, x_cur, tau_sq, sigma_sq)
-                lc = _rw_prior_class(x_cur, x_cur, tau_sq, sigma_sq)
+            lp = _prior(x_prop, prev, nxt, mu_j, mu_nxt, sig_j, sig_nxt)
+            lc = _prior(x_cur, prev, nxt, mu_j, mu_nxt, sig_j, sig_nxt)
             ratio = delta_ll + lp - lc
             in_phase = (t_idx % 2) == phase
             accept = jnp.logical_and(u_j < ratio, in_phase)
-            accept = jnp.logical_and(accept, valid[None, :])
-            x_cur = jnp.where(accept[..., None], x_prop, x_cur)
-            acc = acc.at[:, oob].add(accept.astype(X.dtype), mode='drop')
-        X = X.at[:, oob].set(x_cur, mode='drop')
+            accept = jnp.logical_and(accept, valid)
+            x_new = jnp.where(accept[..., None], x_prop, x_cur)
+            X = X.at[t_idx, oob].set(x_new, mode='drop')
+            acc = acc.at[t_idx, oob].add(accept.astype(X.dtype),
+                                         mode='drop')
         return X, acc
 
     return jax.lax.fori_loop(0, n_colors, color_body,

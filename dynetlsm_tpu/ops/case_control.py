@@ -21,6 +21,8 @@ Differences from the reference's host-side design, driven by jit:
   reference's host-side ``MissingDirectedCaseControlSampler`` rebuild
   (case_control_likelihood.py:115-186).
 """
+from functools import lru_cache
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -128,70 +130,80 @@ def sample_control_nodes(key, Y, n_control, directed=True):
 
 
 def color_conflict_graph(lists, n, miss_mask=None, seed=0):
-    """Balanced greedy coloring of the node-conflict graph for the exact
-    chromatic case-control scan (mcmc/latent.cc_colored_scan).
+    """Balanced greedy per-timestep coloring of the node-conflict graph
+    for the exact chromatic case-control scan (mcmc/latent.cc_colored_scan).
 
-    Two nodes conflict when their single-site conditionals can depend on
-    each other under the case-control likelihood: an observed edge in any
-    direction at any time step, or a missing dyad (which Gibbs resampling
-    can turn into an edge mid-fit).  Control-set dependencies never cross
-    color classes because :func:`sample_controls_colored` draws controls
-    only from other classes, so a proper coloring of this graph makes all
-    nodes of one class conditionally independent given the rest — the
-    class-parallel update is exact blocked Gibbs, with O(n_colors)
+    Site (t, j)'s conditional depends on site (t', k) only when t' = t and
+    k is one of j's time-t edge partners or control nodes (the network
+    terms touch only time-t positions; the temporal prior couples a node
+    to *itself* at t+-1, which the scan's even/odd time-parity phases
+    separate).  So conflicts are PER TIME STEP: an observed edge at t in
+    either direction, or a missing dyad at t (which Gibbs resampling can
+    turn into an edge mid-fit).  Control-set dependencies never conflict
+    because :func:`sample_controls_colored` draws (t, j)'s controls
+    outside j's time-t color class.  A proper per-t coloring therefore
+    makes all sites of one (color, parity) phase conditionally
+    independent given the rest — exact blocked Gibbs in O(max_t chi_t)
     sequential steps per sweep instead of the reference's O(n)
     (case_control_likelihood.py:36-112 keeps the sequential scan because
-    CPython has nothing to vectorise over).
+    CPython has nothing to vectorise over).  Coloring per t instead of
+    the union graph over t cuts the color count ~T-fold (the union degree
+    is ~T times the per-t degree).
 
     ``lists``: host edge-list dict from :func:`build_edge_lists`.
-    Greedy over a random node order, assigning each node the least-loaded
-    non-conflicting color — load balancing keeps the padded class size
-    S ~ n / n_colors so the vectorised per-class work stays ~O(n) total.
+    Greedy over a random node order per t, assigning each node the
+    least-loaded non-conflicting color — load balancing keeps the padded
+    class size S ~ n / n_colors so the vectorised per-class work stays
+    ~O(n) total.
 
-    Returns (colors (n,) int32, groups (n_colors, S) int32 with -1 pad).
+    Returns (colors (T, n) int32,
+             groups (n_colors, T, S) int32 with -1 pad:
+             ``groups[c, t]`` = the nodes with color c at time t).
     """
-    pairs = []
-    for name in ('in_edges', 'out_edges'):
-        e = np.asarray(lists[name])                      # (T, n, D)
-        _, src, _ = np.nonzero(e >= 0)
-        pairs.append(np.stack([src, e[e >= 0]], axis=1))
-    if miss_mask is not None:
-        _, i, j = np.nonzero(np.asarray(miss_mask))
-        pairs.append(np.stack([i, j], axis=1))
-    pairs = np.concatenate(pairs, axis=0)
-    # symmetrize + dedupe
-    pairs = np.concatenate([pairs, pairs[:, ::-1]], axis=0)
-    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
-    pairs = np.unique(pairs, axis=0)
-    # CSR neighbour lists
-    order_idx = np.argsort(pairs[:, 0], kind='stable')
-    pairs = pairs[order_idx]
-    counts = np.bincount(pairs[:, 0], minlength=n)
-    indptr = np.concatenate([[0], np.cumsum(counts)])
-    nbr = pairs[:, 1]
-
+    in_e = np.asarray(lists['in_edges'])
+    out_e = np.asarray(lists['out_edges'])
+    T = in_e.shape[0]
     rng = np.random.RandomState(seed)
-    colors = np.full(n, -1, dtype=np.int64)
-    loads = []
-    for j in rng.permutation(n):
-        nb_colors = colors[nbr[indptr[j]:indptr[j + 1]]]
-        nb_colors = nb_colors[nb_colors >= 0]
-        masked = np.array(loads, dtype=np.float64)
-        if masked.size:
-            masked[np.unique(nb_colors)] = np.inf
-        if masked.size and np.isfinite(masked).any():
-            c = int(np.argmin(masked))
-        else:
-            c = len(loads)
-            loads.append(0)
-        colors[j] = c
-        loads[c] += 1
-    n_colors = len(loads)
-    S = int(max(loads))
-    groups = np.full((n_colors, S), -1, dtype=np.int32)
-    for c in range(n_colors):
-        members = np.flatnonzero(colors == c)
-        groups[c, :members.shape[0]] = members
+    colors = np.full((T, n), -1, dtype=np.int64)
+    per_t_loads = []
+    for t in range(T):
+        pairs = []
+        for e in (in_e[t], out_e[t]):                    # (n, D)
+            src, _ = np.nonzero(e >= 0)
+            pairs.append(np.stack([src, e[e >= 0]], axis=1))
+        if miss_mask is not None:
+            i, j = np.nonzero(np.asarray(miss_mask)[t])
+            pairs.append(np.stack([i, j], axis=1))
+        pairs = np.concatenate(pairs, axis=0)
+        pairs = np.concatenate([pairs, pairs[:, ::-1]], axis=0)
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        pairs = np.unique(pairs, axis=0)
+        counts = np.bincount(pairs[:, 0], minlength=n)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        nbr = pairs[:, 1]
+
+        loads = []
+        for j in rng.permutation(n):
+            nb_colors = colors[t, nbr[indptr[j]:indptr[j + 1]]]
+            nb_colors = nb_colors[nb_colors >= 0]
+            masked = np.array(loads, dtype=np.float64)
+            if masked.size:
+                masked[np.unique(nb_colors)] = np.inf
+            if masked.size and np.isfinite(masked).any():
+                c = int(np.argmin(masked))
+            else:
+                c = len(loads)
+                loads.append(0)
+            colors[t, j] = c
+            loads[c] += 1
+        per_t_loads.append(loads)
+    n_colors = max(len(ld) for ld in per_t_loads)
+    S = max(max(ld) for ld in per_t_loads)
+    groups = np.full((n_colors, T, S), -1, dtype=np.int32)
+    for t in range(T):
+        for c in range(len(per_t_loads[t])):
+            members = np.flatnonzero(colors[t] == c)
+            groups[c, t, :members.shape[0]] = members
     return colors.astype(np.int32), groups
 
 
@@ -211,11 +223,57 @@ def sample_controls_colored(key, lists, colors, n_control, directed=True):
     ~1/n_colors of nodes, so the control estimate of the non-edge sum is
     unchanged in expectation up to that exclusion.
 
-    ``lists``: device edge-list dict (current edge structure).  Returns
-    (ctrl_in, ctrl_out) int32 (T, n, m); ctrl_in is None when undirected.
+    ``lists``: device edge-list dict (current edge structure); ``colors``
+    the (T, n) per-timestep color assignment.  Returns (ctrl_in, ctrl_out)
+    int32 (T, n, m); ctrl_in is None when undirected.
+
+    Batch-aware: under a chain-vmapped sweep the redraw key is
+    chain-invariant (sweeps._refresh_controls), so a vmap with an
+    unbatched key would compute C identical draws; the custom_vmap rule
+    below computes ONE draw and broadcasts it (22 ms/sweep amortized at
+    n=2048, 32 chains otherwise).
     """
+    if directed:
+        args = (key, lists['out_edges'], lists['in_edges'], colors)
+    else:
+        args = (key, lists['out_edges'], colors)
+    return _controls_vmap(directed, int(n_control))(*args)
+
+
+@lru_cache(maxsize=None)
+def _controls_vmap(directed, n_control):
+    if directed:
+        def single(key, out_edges, in_edges, colors):
+            return _sample_controls_impl(
+                key, {'out_edges': out_edges, 'in_edges': in_edges},
+                colors, n_control, directed=True)
+    else:
+        def single(key, out_edges, colors):
+            return _sample_controls_impl(
+                key, {'out_edges': out_edges}, colors, n_control,
+                directed=False)
+
+    f = jax.custom_batching.custom_vmap(single)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        if not any(jax.tree.leaves(in_batched)):
+            # fully chain-invariant call: one draw, broadcast
+            out = single(*args)
+            bcast = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (axis_size,) + a.shape), out)
+            return bcast, jax.tree.map(lambda _: True, out)
+        in_axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(single, in_axes=in_axes)(*args)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return f
+
+
+def _sample_controls_impl(key, lists, colors, n_control, directed=True):
     T, n = lists['out_edges'].shape[:2]
     node = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    t_idx = jnp.arange(T)[:, None, None]
 
     def member(cand, edges):
         """cand (T, n, m) in edges (T, n, D)? — chunked over D to bound
@@ -233,7 +291,7 @@ def sample_controls_colored(key, lists, colors, n_control, directed=True):
         cand = jax.random.randint(k, (T, n, n_control), 0, n,
                                   dtype=jnp.int32)
         bad = cand == node
-        bad |= colors[cand] == colors[None, :, None]
+        bad |= colors[t_idx, cand] == colors[:, :, None]
         bad |= member(cand, edges)
         return jnp.where(bad, -1, cand)
 
@@ -255,7 +313,7 @@ def class_partial_loglik_concat(x_new, idx_all, pos_all, r_all, r_self,
     directed_likelihoods_fast.pyx:83-182 / static_network_fast.pyx:47-94.
 
     x_new (T, S, d); idx_all (T, S, Mtot); pos_all (T, S, Mtot, d);
-    r_all (T, S, Mtot) partner radii / r_self (S,) (directed);
+    r_all (T, S, Mtot) partner radii / r_self (T, S) (directed);
     sender_mask (1, 1, Mtot) — 1 where the node is the dyad's sender;
     offsets: static per-set boundaries; degrees (T, S, 2) directed /
     (T, S) undirected.  Returns (T, S).
@@ -263,7 +321,7 @@ def class_partial_loglik_concat(x_new, idx_all, pos_all, r_all, r_self,
     dist = _dist_to(pos_all, x_new)                      # (T, S, Mtot)
     valid = idx_all >= 0
     if is_directed:
-        rs = r_self[None, :, None]
+        rs = r_self[..., None]                           # (T, S, 1)
         # eta for a dyad where the node sends: b_in(1-d/r_other) +
         # b_out(1-d/r_self); receiving swaps the radii — one select keeps
         # the expression structure of the per-set reference formulas

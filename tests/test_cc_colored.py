@@ -3,7 +3,8 @@
 The colored scan replaces the reference's O(n) sequential case-control
 node sweep (sample_latent_positions.py:92-146 over
 case_control_likelihood.py structures) with O(n_colors) vectorised class
-updates.  Exactness is established constructively:
+updates, colored PER TIME STEP (site (t, j) interacts only with time-t
+partners).  Exactness is established constructively:
 
 * with singleton color classes in index order it is BIT-IDENTICAL to the
   sequential ``xla_exact_scan`` under the same proposal stream;
@@ -54,49 +55,58 @@ def _noise(rng, T, n, d=2):
     return eps, log_u
 
 
+def _singleton_groups(T, n):
+    """(n, T, 1) groups: node j is its own class at every t, classes in
+    index order — the sequential scan's visit order."""
+    return jnp.asarray(
+        np.broadcast_to(np.arange(n, dtype=np.int32)[:, None, None],
+                        (n, T, 1)).copy())
+
+
 def test_coloring_and_controls_valid(rng):
     X, Y, _ = _net(rng, n=24)
-    n = Y.shape[1]
+    T, n = Y.shape[:2]
     lists_h = build_edge_lists(Y)
     colors, groups = color_conflict_graph(lists_h, n, seed=0)
-    # proper coloring of the (symmetrized) edge graph
+    assert colors.shape == (T, n)
+    # proper per-t coloring of the (symmetrized) edge graph
     t_, i_, j_ = np.nonzero(Y + np.swapaxes(Y, 1, 2))
-    assert (colors[i_] != colors[j_]).all()
-    # groups is a partition of the nodes
-    members = np.sort(groups[groups >= 0])
-    np.testing.assert_array_equal(members, np.arange(n))
-    # balanced: padded work is within 2x of n
-    assert groups.shape[0] * groups.shape[1] <= 2 * n + groups.shape[0]
+    assert (colors[t_, i_] != colors[t_, j_]).all()
+    # groups is a partition of the nodes at every t
+    for t in range(T):
+        members = np.sort(groups[:, t][groups[:, t] >= 0])
+        np.testing.assert_array_equal(members, np.arange(n))
+    # balanced: padded work is within 3x of the real site count
+    assert groups.size <= 3 * n * T
 
     lists = {k: jnp.asarray(v) for k, v in lists_h.items()}
     ci, co = sample_controls_colored(jax.random.PRNGKey(3), lists,
                                      jnp.asarray(colors), 6, directed=True)
     ci, co = np.asarray(ci), np.asarray(co)
-    T = Y.shape[0]
     for t in range(T):
         for i in range(n):
             for c in co[t, i]:
                 if c >= 0:
                     assert c != i and Y[t, i, c] == 0
-                    assert colors[c] != colors[i]
+                    assert colors[t, c] != colors[t, i]
             for c in ci[t, i]:
                 if c >= 0:
                     assert c != i and Y[t, c, i] == 0
-                    assert colors[c] != colors[i]
+                    assert colors[t, c] != colors[t, i]
     # the with-replacement draw keeps most candidates at this density
     assert (co >= 0).mean() > 0.4
 
 
 def test_missing_dyads_are_conflicts(rng):
     """Missing dyads can become edges mid-fit, so they must separate
-    colors too."""
+    colors at their time step too."""
     X, Y, _ = _net(rng, n=16)
     miss = rng.uniform(size=Y.shape) < 0.1
     colors, _ = color_conflict_graph(build_edge_lists(Y), Y.shape[1],
                                      miss_mask=miss, seed=0)
-    _, i_, j_ = np.nonzero(miss)
+    t_, i_, j_ = np.nonzero(miss)
     keep = i_ != j_
-    assert (colors[i_[keep]] != colors[j_[keep]]).all()
+    assert (colors[t_[keep], i_[keep]] != colors[t_[keep], j_[keep]]).all()
 
 
 @pytest.mark.parametrize('directed', [True, False])
@@ -121,7 +131,7 @@ def test_singleton_parity_vs_sequential_scan(rng, directed, mixture):
                   tau_sq=None, sigma_sq=None)
 
     cc_single = dict(cc, colors=jnp.asarray(colors),
-                     color_groups=jnp.arange(n, dtype=jnp.int32)[:, None])
+                     color_groups=_singleton_groups(T, n))
     kw_c = dict(kw)
     kw_c['radii'] = jnp.asarray(radii) if directed else None
     Xc, accc = cc_colored_scan(jnp.asarray(X), b, step, eps, log_u,
@@ -150,9 +160,24 @@ def test_class_update_equals_sequential_within_class(rng, directed):
               tau_sq=2.0, sigma_sq=0.1, is_directed=directed,
               mixture=False)
 
-    order = groups[groups >= 0].astype(np.int32)
+    # parity-preserving singleton expansion: for each color, first one
+    # class per slot holding only its EVEN-t sites, then one per slot
+    # holding only its ODD-t sites — the full scan's phase order with the
+    # within-phase simultaneity removed.  (A naive per-slot expansion
+    # would interleave parities: a node sitting at different slots at
+    # adjacent times would see stale temporal neighbours.)
+    n_colors, T_, S = groups.shape
+    order = np.full((n_colors * 2 * S, T_, 1), -1, np.int32)
+    k = 0
+    for c in range(n_colors):
+        for parity in (0, 1):
+            for s in range(S):
+                for t in range(T_):
+                    if t % 2 == parity:
+                        order[k, t, 0] = groups[c, t, s]
+                k += 1
     runs = []
-    for g in (jnp.asarray(groups), jnp.asarray(order)[:, None]):
+    for g in (jnp.asarray(groups), jnp.asarray(order)):
         cc_g = dict(cc, colors=jnp.asarray(colors), color_groups=g)
         runs.append(cc_colored_scan(jnp.asarray(X), b, step, eps, log_u,
                                     cc=cc_g, **kw))
@@ -182,13 +207,65 @@ def test_tempered_colored_scan(rng):
     X0, _ = cc_colored_scan(jnp.asarray(X), b, step, eps, log_u, **kw)
     np.testing.assert_array_equal(np.asarray(X1), np.asarray(X0))
 
-    # temper=0: identical to a pure-prior scan on ANY network structure
-    cc_alt, colors_a, groups_a = _structures(rng, Y, m, True, seed=9)
-    cc_a = dict(cc_alt, colors=jnp.asarray(colors_a),
-                color_groups=jnp.asarray(groups_a))
-    kw_a = dict(kw, cc=cc_a)
-    Xz, _ = cc_colored_scan(jnp.asarray(X), b, step, eps, log_u,
-                            temper=jnp.asarray(0.0, jnp.float32), **kw)
-    Xz2, _ = cc_colored_scan(jnp.asarray(X), b, step, eps, log_u,
-                             temper=jnp.asarray(0.0, jnp.float32), **kw_a)
-    np.testing.assert_array_equal(np.asarray(Xz), np.asarray(Xz2))
+    # tempered singleton-class scan == tempered sequential scan, bit for
+    # bit — and different from the untempered chain
+    cc_single = dict(cc, colors=jnp.asarray(colors),
+                     color_groups=_singleton_groups(T, n))
+    kw_s = dict(kw, cc=cc_single)
+    t35 = jnp.asarray(0.35, jnp.float32)
+    Xc, accc = cc_colored_scan(jnp.asarray(X), b, step, eps, log_u,
+                               temper=t35, **kw_s)
+    Xx, accx = xla_exact_scan(jnp.asarray(Y), jnp.asarray(X), b, step,
+                              eps, log_u, radii=jnp.asarray(radii),
+                              tau_sq=2.0, sigma_sq=0.1, cc=cc,
+                              is_directed=True, mixture=False, temper=t35)
+    np.testing.assert_array_equal(np.asarray(Xc), np.asarray(Xx))
+    np.testing.assert_array_equal(np.asarray(accc), np.asarray(accx))
+
+    # temper=0 (prior-only) parity + discrimination: the zero-tempered
+    # chain matches the zero-tempered sequential scan bit for bit and
+    # differs from the 0.35-tempered chain — proving the scalar reaches
+    # the accept ratio in both implementations
+    t0_ = jnp.asarray(0.0, jnp.float32)
+    Xz, accz = cc_colored_scan(jnp.asarray(X), b, step, eps, log_u,
+                               temper=t0_, **kw_s)
+    Xz_x, _ = xla_exact_scan(jnp.asarray(Y), jnp.asarray(X), b, step,
+                             eps, log_u, radii=jnp.asarray(radii),
+                             tau_sq=2.0, sigma_sq=0.1, cc=cc,
+                             is_directed=True, mixture=False, temper=t0_)
+    np.testing.assert_array_equal(np.asarray(Xz), np.asarray(Xz_x))
+    assert np.abs(np.asarray(Xz) - np.asarray(Xc)).max() > 0
+
+
+def test_shared_ctrl_vmap_rule_matches_per_chain(rng):
+    """The custom_vmap rule that drops the (chain-identical) control
+    tensors' batch axis must produce exactly what plain per-chain
+    batching would."""
+    T, n, m, C = 3, 16, 4, 3
+    X, Y, radii = _net(rng, T=T, n=n, directed=True)
+    cc, colors, groups = _structures(rng, Y, m, True)
+    eps, log_u = _noise(rng, T, n)
+    step = jnp.full((T, n), 0.3, jnp.float32)
+    b = jnp.asarray([0.5, 0.8], jnp.float32)
+    cc_g = dict(cc, colors=jnp.asarray(colors),
+                color_groups=jnp.asarray(groups))
+
+    Xb = jnp.asarray(np.stack([X + 0.1 * i for i in range(C)]))
+    ctrl_in_b = jnp.broadcast_to(cc_g['ctrl_in'],
+                                 (C,) + cc_g['ctrl_in'].shape)
+    ctrl_out_b = jnp.broadcast_to(cc_g['ctrl_out'],
+                                  (C,) + cc_g['ctrl_out'].shape)
+
+    def scan_one(Xi, ci, co):
+        cc_i = dict(cc_g, ctrl_in=ci, ctrl_out=co)
+        return cc_colored_scan(Xi, b, step, eps, log_u,
+                               radii=jnp.asarray(radii), tau_sq=2.0,
+                               sigma_sq=0.1, cc=cc_i, is_directed=True,
+                               mixture=False)
+
+    X_vm, acc_vm = jax.vmap(scan_one)(Xb, ctrl_in_b, ctrl_out_b)
+    for i in range(C):
+        Xi, acci = scan_one(Xb[i], cc_g['ctrl_in'], cc_g['ctrl_out'])
+        np.testing.assert_array_equal(np.asarray(X_vm[i]), np.asarray(Xi))
+        np.testing.assert_array_equal(np.asarray(acc_vm[i]),
+                                      np.asarray(acci))
