@@ -114,8 +114,8 @@ def build_state_and_sweep(Y, n_chains, K=10, seed=0, quality_init=True,
                          color_groups=jnp.asarray(groups),
                          ctrl_key=jax.random.PRNGKey(seed + 7))
         ctrl_in, ctrl_out = sample_controls_colored(
-            jax.random.fold_in(cc_static['ctrl_key'], 0), lists_d,
-            cc_static['colors'], n_control, directed=is_directed)
+            jax.random.fold_in(cc_static['ctrl_key'], 0),
+            cc_static['colors'], n, n_control, directed=is_directed)
         Yd = None      # the cc sweep never touches a dense adjacency
         degrees = np.asarray(lists_h['degrees'], np.float64)
     else:
@@ -470,7 +470,7 @@ def run_cc_n2048(chunk):
     fallback took ~274 s/sweep and tripped the TPU watchdog in round 4;
     the chromatic scan serves it in milliseconds."""
     m = int(os.environ.get('BENCH_CC_CONTROL', '145'))
-    n_chains = int(os.environ.get('BENCH_CC2048_CHAINS', '64'))
+    n_chains = int(os.environ.get('BENCH_CC2048_CHAINS', '128'))
     Y = northstar_network(n=2048, directed=True)
     state, sweep = build_state_and_sweep(
         Y, n_chains, K=25, quality_init=False, is_directed=True,
@@ -485,6 +485,9 @@ def run_cc_n20000(chunk):
     exists for (the dense exact scan cannot serve this shape at all)."""
     m = int(os.environ.get('BENCH_CC20000_CONTROL', '64'))
     n_chains = int(os.environ.get('BENCH_CC20000_CHAINS', '8'))
+    # ~1.4 s/sweep at this scale: a short chunk keeps each on-device scan
+    # well inside the TPU execution watchdog
+    chunk = int(os.environ.get('BENCH_CC20000_CHUNK', '10'))
     lists, shape = northstar_edge_lists(n=20000, directed=True)
     state, sweep = build_state_and_sweep(
         None, n_chains, K=25, quality_init=False, is_directed=True,

@@ -26,7 +26,7 @@ def _directed_loglik(Y, dist, X, radii, b_in, b_out, cc):
     if cc is not None:
         return approx_directed_loglik_full(
             X, radii, cc['out_edges'], cc['degrees'], cc['ctrl_out'],
-            b_in, b_out, shared_ctrl='colors' in cc)
+            cc['ctrl_out_valid'], b_in, b_out, shared_ctrl='colors' in cc)
     return directed_loglik_full(Y, dist, radii, b_in, b_out)
 
 
@@ -55,8 +55,8 @@ def sample_intercept_undirected(key, Y, dist, intercept, step_size,
     if cc is not None:
         def cc_ll(b):
             return approx_undirected_loglik_full(
-                X, cc['out_edges'], cc['degrees'][..., 1], cc['ctrl_out'], b,
-                shared_ctrl='colors' in cc)
+                X, cc['out_edges'], cc['degrees'][..., 1], cc['ctrl_out'],
+                cc['ctrl_out_valid'], b, shared_ctrl='colors' in cc)
         ll_cur, ll_prop = cc_ll(intercept[0]), cc_ll(prop[0])
     elif dist is None:
         from ..ops.pallas_loglik import undirected_loglik_pair_fused

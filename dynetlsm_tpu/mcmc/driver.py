@@ -57,7 +57,7 @@ def shard_state(state, mesh):
 # (C, T, n, n): sharding their *row* axis matches the Y_fixed layout below.
 _NODE_AXIS = {'X': 2, 'z': 2, 'step_X': 2, 'acc_X': 2, 'radii': 1,
               'X_map': 2, 'X_ref': 2, 'radii_map': 1,
-              'Y': 2, 'missing_sum': 2, 'ctrl_in': 2, 'ctrl_out': 2}
+              'Y': 2, 'missing_sum': 2, 'ctrl_in': 1, 'ctrl_out': 1}
 
 
 def spatial_mesh(n_chain_shards, n_node_shards, devices=None):

@@ -325,116 +325,122 @@ def _mixture_prior_class(xs, x_cur, mu_z, sigma_z, lmbda):
 def _cc_colored_scan_impl(X, intercept, step_size, eps, log_u, radii,
                           tau_sq, sigma_sq, muz, sigz, lmbda, temper,
                           groups, in_edges, out_edges, degrees, ctrl_in,
-                          ctrl_out, *, is_directed, mixture):
+                          ctrl_out, civ, cov, *, is_directed, mixture):
     """Single-chain body of the chromatic scan (see
-    :func:`cc_colored_scan`).  ``groups`` is the per-timestep class table
-    (n_colors, T, S): class c updates sites {(t, groups[c, t, s])} in two
-    time-parity phases.  ``muz`` (T, n, d) / ``sigz`` (T, n) are the
-    per-site cluster parameters, pre-gathered once per sweep; ``degrees``
-    is (T, n, 2) directed / (T, n) undirected; ``temper`` a scalar
-    (1.0 when untempered — an exact multiply)."""
+    :func:`cc_colored_scan`).  ``groups`` (n_colors, S) assigns each
+    node's whole trajectory to one class; within a class, each node's
+    times update in two parity phases.  Edge partners are gathered per
+    (t, partner) row; control partners — shared across time — are
+    gathered as contiguous node-major TRAJECTORIES (one ~T*12 B row per
+    control instead of T rows; the gather is row-count-bound).  ``muz``
+    (T, n, d) / ``sigz`` (T, n) are the per-site cluster parameters,
+    pre-gathered once per sweep; ``degrees`` is (T, n, 2) directed /
+    (T, n) undirected; ``civ``/``cov`` the (T, n, m) control validity
+    masks; ``temper`` a scalar (1.0 when untempered — an exact
+    multiply)."""
     from ..ops.case_control import (
-        class_partial_loglik_concat, _gather_partners as _cc_gather)
+        class_partial_loglik_segments, _gather_partners as _cc_gather,
+        _gather_trajectories, _node_major, _dist_to)
 
     T, n, d = X.shape
     t_idx = jnp.arange(T)[:, None]
-    t_prev = jnp.maximum(t_idx - 1, 0)
-    t_next = jnp.minimum(t_idx + 1, T - 1)
     n_colors = groups.shape[0]
-    # ONE concatenated partner-index table: a single position gather per
-    # class instead of one per edge/control set (the scan is
-    # gather-dispatch-bound, ~10 ns/row + per-op overhead)
-    tables = ((in_edges, out_edges, ctrl_in, ctrl_out) if is_directed
-              else (out_edges, ctrl_out))
-    widths = [t.shape[-1] for t in tables]
+    edge_tables = (in_edges, out_edges) if is_directed else (out_edges,)
+    ctrl_tables = (ctrl_in, ctrl_out) if is_directed else (ctrl_out,)
+    mask_tables = (civ, cov) if is_directed else (cov,)
+    widths = ([t.shape[-1] for t in edge_tables]
+              + [t.shape[-1] for t in ctrl_tables])
     offsets = (0,) + tuple(int(v) for v in np.cumsum(widths))
-    idx_table = jnp.concatenate(tables, axis=-1)         # (T, n, Mtot)
+    edge_idx_table = jnp.concatenate(edge_tables, axis=-1)   # (T, n, Me)
+    ctrl_idx_table = jnp.concatenate(ctrl_tables, axis=-1)   # (n, Mc)
+    cmask_table = jnp.concatenate(mask_tables, axis=-1)      # (T, n, Mc)
+    ne = 2 if is_directed else 1
     sender = np.zeros((1, 1, offsets[-1]), bool)
     if is_directed:
         sender[..., offsets[1]:offsets[2]] = True        # out edges
         sender[..., offsets[3]:offsets[4]] = True        # ctrl_out
     sender_mask = jnp.asarray(sender)
 
-    def _prior(xs, prev, nxt, mu_j, mu_nxt, sig_j, sig_nxt):
-        """Per-site log-prior terms with temporal neighbours gathered
-        fresh from the field (a site's t+-1 neighbour is the SAME node at
-        another time, which may belong to a different class).  Same
-        arithmetic as _mixture_prior_class / _rw_prior_class."""
-        if mixture:
-            diff0 = xs - mu_j
-            difft = xs - (1.0 - lmbda) * prev - lmbda * mu_j
-            diff = jnp.where((t_idx == 0)[..., None], diff0, difft)
-            back = -0.5 * jnp.sum(diff * diff, axis=-1) / sig_j
-            fdiff = nxt - (1.0 - lmbda) * xs - lmbda * mu_nxt
-            fwd = -0.5 * jnp.sum(fdiff * fdiff, axis=-1) / sig_nxt
-        else:
-            back0 = -0.5 * jnp.sum(xs * xs, axis=-1) / tau_sq
-            backt = -0.5 * jnp.sum((xs - prev) ** 2, axis=-1) / sigma_sq
-            back = jnp.where(t_idx == 0, back0, backt)
-            fwd = -0.5 * jnp.sum((nxt - xs) ** 2, axis=-1) / sigma_sq
-        fwd = jnp.where(t_idx == T - 1, 0.0, fwd)
-        return back + fwd
+    # class-sorted copies of every scan-invariant per-node table, built
+    # ONCE per sweep: the color loop then reads them by dynamic_slice
+    # instead of per-color gathers.  The per-gather fixed cost (~0.2 ms)
+    # times ~10 tables times n_colors dominated the scan; after sorting,
+    # each color pays only its two position gathers (which must be fresh
+    # — positions change as earlier colors update).
+    g_safe = jnp.maximum(groups, 0)                      # (nc, S)
+    cls_eidx = jnp.moveaxis(edge_idx_table[:, g_safe], 1, 0)
+    cls_cidx = ctrl_idx_table[g_safe]                    # (nc, S, Mc)
+    cls_cmask = jnp.moveaxis(cmask_table[:, g_safe], 1, 0)
+    cls_deg = jnp.moveaxis(degrees[:, g_safe], 1, 0)
+    cls_step = jnp.moveaxis(step_size[:, g_safe], 1, 0)  # (nc, T, S)
+    cls_eps = jnp.moveaxis(eps[:, g_safe], 1, 0)         # (nc, 2, S, T, d)
+    cls_u = jnp.moveaxis(log_u[:, g_safe], 1, 0)         # (nc, 2, S, T)
+    if is_directed:
+        cls_radii = radii[g_safe]                        # (nc, S)
+    if mixture:
+        cls_muz = jnp.moveaxis(muz[:, g_safe], 1, 0)     # (nc, T, S, d)
+        cls_sigz = jnp.moveaxis(sigz[:, g_safe], 1, 0)   # (nc, T, S)
 
     def color_body(c, carry):
         X, acc = carry
-        nodes = groups[c]                                # (T, S)
-        valid = nodes >= 0
+        nodes = groups[c]                                # (S,)
+        valid_nodes = nodes >= 0
         safe = jnp.maximum(nodes, 0)
-        oob = jnp.where(valid, nodes, n)                 # drop pad scatters
+        oob = jnp.where(valid_nodes, nodes, n)           # drop pad scatters
 
-        step_j = step_size[t_idx, safe]                  # (T, S)
-        idx_all = idx_table[t_idx, safe]                 # (T, S, Mtot)
-        deg_j = degrees[t_idx, safe]
+        step_j = cls_step[c]                             # (T, S)
+        e_idx = cls_eidx[c]                              # (T, S, Me)
+        c_idx = cls_cidx[c]                              # (S, Mc)
+        c_valid = cls_cmask[c]                           # (T, S, Mc)
+        deg_j = cls_deg[c]
         if is_directed:
-            # partner radii ride the position gather as a third feature
-            # column — one 12 B row per partner instead of a second
-            # element-wise radii gather (the scan is gather-row-bound)
+            # partner radii ride the position gathers as a feature column
+            # — one row per partner instead of a second radii gather
             Xr = jnp.concatenate(
                 [X, jnp.broadcast_to(radii[None, :, None], (T, n, 1))],
                 axis=-1)
-            gath = _cc_gather(Xr, idx_all)               # (T, S, Mtot, d+1)
-            pos_all = gath[..., :d]
-            r_all = gath[..., d]
-            r_self = radii[safe]                         # (T, S)
+            ge = _cc_gather(Xr, e_idx)                   # (T, S, Me, d+1)
+            gc = _gather_trajectories(_node_major(X, radii), c_idx)
+            pos_all = jnp.concatenate([ge[..., :d], gc[..., :d]], axis=2)
+            r_all = jnp.concatenate([ge[..., d], gc[..., d]], axis=-1)
+            r_self = cls_radii[c]                        # (S,)
         else:
-            pos_all = _cc_gather(X, idx_all)             # (T, S, Mtot, d)
+            ge = _cc_gather(X, e_idx)                    # (T, S, Me, d)
+            gc = _gather_trajectories(_node_major(X), c_idx)
+            pos_all = jnp.concatenate([ge, gc], axis=2)
             r_all = r_self = None
+        valid_all = jnp.concatenate([e_idx >= 0, c_valid], axis=-1)
         if mixture:
-            mu_j = muz[t_idx, safe]                      # (T, S, d)
-            sig_j = sigz[t_idx, safe]                    # (T, S)
-            mu_nxt = muz[t_next, safe]
-            sig_nxt = sigz[t_next, safe]
-        else:
-            mu_j = mu_nxt = sig_j = sig_nxt = None
+            mu_j = cls_muz[c]                            # (T, S, d)
+            sig_j = cls_sigz[c]                          # (T, S)
 
         def class_ll(xq):
-            return class_partial_loglik_concat(
-                xq, idx_all, pos_all, r_all, r_self, sender_mask, offsets,
-                deg_j, intercept[0], intercept[1] if is_directed else None,
-                n, is_directed)
+            dist = _dist_to(pos_all, xq)                 # (T, S, Mtot)
+            return class_partial_loglik_segments(
+                None, dist, valid_all, r_all, r_self, sender_mask,
+                offsets, deg_j, intercept[0],
+                intercept[1] if is_directed else None, n, is_directed)
 
+        x_cur = jnp.take(X, safe, axis=1)                # (T, S, d)
         for phase in (0, 1):
-            # neighbours re-gathered per phase: phase 0's accepted even
-            # rows are phase 1's odd-row temporal neighbours, and with
-            # per-t classes they may live in this same class's table
-            x_cur = X[t_idx, safe]                       # (T, S, d)
-            prev = X[t_prev, safe]
-            nxt = X[t_next, safe]
-            eps_j = eps[phase][safe, t_idx]              # (T, S, d)
-            u_j = log_u[phase][safe, t_idx]              # (T, S)
+            eps_j = jnp.moveaxis(cls_eps[c, phase], 0, 1)  # (T, S, d)
+            u_j = cls_u[c, phase].T                      # (T, S)
             x_prop = x_cur + step_j[..., None] * eps_j
 
             delta_ll = temper * (class_ll(x_prop) - class_ll(x_cur))
-            lp = _prior(x_prop, prev, nxt, mu_j, mu_nxt, sig_j, sig_nxt)
-            lc = _prior(x_cur, prev, nxt, mu_j, mu_nxt, sig_j, sig_nxt)
+            if mixture:
+                lp = _mixture_prior_class(x_prop, x_cur, mu_j, sig_j, lmbda)
+                lc = _mixture_prior_class(x_cur, x_cur, mu_j, sig_j, lmbda)
+            else:
+                lp = _rw_prior_class(x_prop, x_cur, tau_sq, sigma_sq)
+                lc = _rw_prior_class(x_cur, x_cur, tau_sq, sigma_sq)
             ratio = delta_ll + lp - lc
             in_phase = (t_idx % 2) == phase
             accept = jnp.logical_and(u_j < ratio, in_phase)
-            accept = jnp.logical_and(accept, valid)
-            x_new = jnp.where(accept[..., None], x_prop, x_cur)
-            X = X.at[t_idx, oob].set(x_new, mode='drop')
-            acc = acc.at[t_idx, oob].add(accept.astype(X.dtype),
-                                         mode='drop')
+            accept = jnp.logical_and(accept, valid_nodes[None, :])
+            x_cur = jnp.where(accept[..., None], x_prop, x_cur)
+            acc = acc.at[:, oob].add(accept.astype(X.dtype), mode='drop')
+        X = X.at[:, oob].set(x_cur, mode='drop')
         return X, acc
 
     return jax.lax.fori_loop(0, n_colors, color_body,
@@ -443,7 +449,7 @@ def _cc_colored_scan_impl(X, intercept, step_size, eps, log_u, radii,
 
 # flat-arg positions in _cc_colored_scan_impl / the custom_vmap wrapper
 _CC_OUT_EDGES_ARG = 14
-_CC_CTRL_ARGS = (16, 17)
+_CC_CTRL_ARGS = (16, 17, 18, 19)
 
 
 @lru_cache(maxsize=None)
@@ -505,7 +511,7 @@ def cc_colored_scan(X, intercept, step_size, eps, log_u, *, radii=None,
     sequential scan and consumes the identical per-node proposal stream
     (eps (2, n, T, d), log_u (2, n, T)), so with singleton classes in
     index order it is bit-identical to :func:`xla_exact_scan`
-    (tests/test_case_control.py).  The per-site cluster parameters come
+    (tests/test_cc_colored.py).  The per-site cluster parameters come
     from a one-hot MXU contraction (exact — a single non-zero term per
     site) hoisted out of the color loop.
     """
@@ -525,15 +531,15 @@ def cc_colored_scan(X, intercept, step_size, eps, log_u, *, radii=None,
     r = radii if is_directed else jnp.zeros((), f32)
     ie = cc['in_edges'] if is_directed else jnp.zeros((), jnp.int32)
     ci = cc['ctrl_in'] if is_directed else jnp.zeros((), jnp.int32)
+    civ = cc['ctrl_in_valid'] if is_directed else jnp.zeros((), bool)
     deg = cc['degrees'] if is_directed else cc['degrees'][..., 1]
     t = (jnp.ones((), f32) if temper is None
          else jnp.asarray(temper, f32))
     fn = _colored_scan_vmap(is_directed, mixture)
     return fn(X, jnp.asarray(intercept, f32), step_size, eps, log_u, r,
               tau, sig, muz, sigz, lam, t, cc['color_groups'], ie,
-              cc['out_edges'], deg, ci, cc['ctrl_out'])
-
-
+              cc['out_edges'], deg, ci, cc['ctrl_out'], civ,
+              cc['ctrl_out_valid'])
 @partial(jax.jit, static_argnames=('is_directed', 'mixture', 'scheme'))
 def sample_latent_positions(key, Y, X, intercept, step_size, *,
                             radii=None, tau_sq=None, sigma_sq=None,
@@ -670,12 +676,14 @@ def xla_exact_scan(Y, X, intercept, step_size, eps, log_u, *,
                         return approx_directed_partial_loglik(
                             X, radii, j, x, cc['in_edges'][:, j],
                             cc['out_edges'][:, j], cc['degrees'][:, j],
-                            cc['ctrl_in'][:, j], cc['ctrl_out'][:, j],
+                            cc['ctrl_in'][j], cc['ctrl_out'][j],
+                            cc['ctrl_in_valid'][:, j],
+                            cc['ctrl_out_valid'][:, j],
                             intercept[0], intercept[1])
                     return approx_undirected_partial_loglik(
                         X, x, cc['out_edges'][:, j],
-                        cc['degrees'][:, j, 1], cc['ctrl_out'][:, j],
-                        intercept[0])
+                        cc['degrees'][:, j, 1], cc['ctrl_out'][j],
+                        cc['ctrl_out_valid'][:, j], intercept[0])
 
                 delta_ll = cc_ll(x_prop) - cc_ll(x_cur)      # (T,)
             else:

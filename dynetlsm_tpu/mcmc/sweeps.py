@@ -128,12 +128,13 @@ def _network_loglik(cfg, Y, dist, intercept, radii, X=None, cc=None):
         if cc is not None:
             return approx_directed_loglik_full(
                 X, radii, cc['out_edges'], cc['degrees'], cc['ctrl_out'],
-                intercept[0], intercept[1], shared_ctrl='colors' in cc)
+                cc['ctrl_out_valid'], intercept[0], intercept[1],
+                shared_ctrl='colors' in cc)
         return directed_loglik_full(Y, dist, radii, intercept[0], intercept[1])
     if cc is not None:
         return approx_undirected_loglik_full(
             X, cc['out_edges'], cc['degrees'][..., 1], cc['ctrl_out'],
-            intercept[0], shared_ctrl='colors' in cc)
+            cc['ctrl_out_valid'], intercept[0], shared_ctrl='colors' in cc)
     return undirected_loglik_full(Y, dist, intercept[0])
 
 
@@ -170,9 +171,9 @@ def _refresh_controls(cfg, key, state, Y, lists, cc_static, it_hint=None):
             # batched-index gathers (see case_control._shared_idx_vmap)
             k = jax.random.fold_in(cc_static['ctrl_key'],
                                    jnp.asarray(it, jnp.int32))
-            return sample_controls_colored(k, lists, cc_static['colors'],
-                                           cfg.n_control,
-                                           directed=cfg.is_directed)
+            return sample_controls_colored(
+                k, cc_static['colors'], cc_static['colors'].shape[0],
+                cfg.n_control, directed=cfg.is_directed)
         return sample_control_nodes(key, Y, cfg.n_control,
                                     directed=cfg.is_directed)
 
@@ -190,7 +191,12 @@ def build_cc_dict(cfg, Y, cc_static, ctrl_in, ctrl_out):
     throughout."""
     lists = (edge_lists_device(Y, cc_static['max_deg'])
              if cfg.sample_missing else cc_static)
-    cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+    from ..ops.case_control import control_masks
+    civ, cov = control_masks(ctrl_in, ctrl_out, lists,
+                             cfg.is_directed,
+                             shared_ctrl='colors' in cc_static)
+    cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out,
+              ctrl_in_valid=civ, ctrl_out_valid=cov)
     cc.pop('max_deg', None)
     cc.pop('ctrl_key', None)
     for k in ('colors', 'color_groups'):
@@ -205,11 +211,16 @@ def _cc_structures(cfg, key, state, Y, cc_static, it_hint=None):
     an in-device rebuild of the padded edge lists from the current Y
     (reference MissingDirectedCaseControlSampler,
     case_control_likelihood.py:115-186)."""
+    from ..ops.case_control import control_masks
     lists = (edge_lists_device(Y, cc_static['max_deg'])
              if cfg.sample_missing else cc_static)
     ctrl_in, ctrl_out = _refresh_controls(cfg, key, state, Y, lists,
                                           cc_static, it_hint)
-    cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out)
+    civ, cov = control_masks(ctrl_in, ctrl_out, lists,
+                             cfg.is_directed,
+                             shared_ctrl='colors' in cc_static)
+    cc = dict(lists, ctrl_in=ctrl_in, ctrl_out=ctrl_out,
+              ctrl_in_valid=civ, ctrl_out_valid=cov)
     cc.pop('max_deg', None)
     cc.pop('ctrl_key', None)
     for k in ('colors', 'color_groups'):

@@ -191,9 +191,8 @@ def build_case_control(cfg, Y_dev, Y_host, rng, miss_mask=None):
     # the same key the first sweep's redraw will fold at it=0
     cc_static['ctrl_key'] = jax.random.PRNGKey(rng.randint(0, 2 ** 31 - 1))
     ctrl = sample_controls_colored(
-        jax.random.fold_in(cc_static['ctrl_key'], 0),
-        {k: jnp.asarray(v) for k, v in lists.items()},
-        cc_static['colors'], cfg.n_control, directed=cfg.is_directed)
+        jax.random.fold_in(cc_static['ctrl_key'], 0), cc_static['colors'],
+        Y_host.shape[1], cfg.n_control, directed=cfg.is_directed)
     return cc_static, ctrl
 
 

@@ -1,12 +1,21 @@
 """Case-control likelihood kernels: exactness in the full-control limit and
-unbiasedness of control sampling."""
+unbiasedness of control sampling.
+
+Control sets are per-node index vectors shared across time steps with
+per-time validity masks (a draw is valid at t when it is currently a
+non-edge there) — conditioned on validity each valid draw is uniform over
+that step's eligible non-edges, matching the reference's per-(t, i) draw
+distribution (case_control_likelihood.py:75-111) while letting consumers
+gather control positions as contiguous node trajectories.
+"""
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from dynetlsm_tpu.ops.case_control import (
-    build_edge_lists, sample_control_nodes,
-    approx_directed_partial_loglik, approx_directed_loglik_full)
+    build_edge_lists, sample_control_nodes, control_masks,
+    control_valid_masks, approx_directed_partial_loglik,
+    approx_directed_loglik_full)
 from dynetlsm_tpu.ops.likelihoods import directed_loglik_full
 from dynetlsm_tpu.ops.distances import pairwise_distances
 
@@ -20,21 +29,30 @@ def _directed_net(rng, T=2, n=15, d=2):
     return X, Y, radii
 
 
+def _all_others(n):
+    """(n, n-1) control table enumerating every other node — with the
+    per-time edge masks this makes every non-edge a valid control, the
+    full-control limit."""
+    base = np.arange(n)[None, :].repeat(n, axis=0)       # (n, n)
+    keep = base != np.arange(n)[:, None]
+    return jnp.asarray(base[keep].reshape(n, n - 1), jnp.int32)
+
+
 def test_full_control_limit_matches_exact_loglik(rng):
-    """With n_control = n - 1 every non-edge is a control, so the
-    approximation becomes the exact log-likelihood."""
+    """With every other node as a control (masked to the current
+    non-edges), the approximation becomes the exact log-likelihood."""
     X, Y, radii = _directed_net(rng)
     T, n, _ = Y.shape
     b_in, b_out = 0.3, 0.7
 
     lists = build_edge_lists(Y)
-    ctrl_in, ctrl_out = sample_control_nodes(
-        jax.random.PRNGKey(0), jnp.asarray(Y, jnp.float32), n - 1)
+    ctrl = _all_others(n)
+    valid = control_valid_masks(ctrl, jnp.asarray(lists['out_edges']))
 
     got = float(approx_directed_loglik_full(
         jnp.asarray(X, jnp.float32), jnp.asarray(radii, jnp.float32),
         jnp.asarray(lists['out_edges']), jnp.asarray(lists['degrees']),
-        ctrl_out, b_in, b_out))
+        ctrl, valid, b_in, b_out))
     dist = pairwise_distances(jnp.asarray(X, jnp.float32))
     want = float(directed_loglik_full(
         jnp.asarray(Y, jnp.float32), dist, jnp.asarray(radii, jnp.float32),
@@ -53,8 +71,9 @@ def test_partial_full_control_limit(rng):
     X2[:, j] += 0.2
 
     lists = build_edge_lists(Y)
-    ctrl_in, ctrl_out = sample_control_nodes(
-        jax.random.PRNGKey(1), jnp.asarray(Y, jnp.float32), n - 1)
+    ctrl = _all_others(n)
+    valid_out = control_valid_masks(ctrl, jnp.asarray(lists['out_edges']))
+    valid_in = control_valid_masks(ctrl, jnp.asarray(lists['in_edges']))
 
     def cc_ll(Xa, x):
         return np.asarray(approx_directed_partial_loglik(
@@ -63,7 +82,8 @@ def test_partial_full_control_limit(rng):
             jnp.asarray(lists['in_edges'][:, j]),
             jnp.asarray(lists['out_edges'][:, j]),
             jnp.asarray(lists['degrees'][:, j]),
-            ctrl_in[:, j], ctrl_out[:, j], b_in, b_out))
+            ctrl[j], ctrl[j], valid_in[:, j], valid_out[:, j],
+            b_in, b_out))
 
     delta_cc = (cc_ll(X, X2[:, j]) - cc_ll(X, X[:, j])).sum()
 
@@ -81,21 +101,27 @@ def test_control_nodes_are_valid_nonedges(rng):
     X, Y, radii = _directed_net(rng, n=20)
     T, n, _ = Y.shape
     m = 6
-    ctrl_in, ctrl_out = sample_control_nodes(
-        jax.random.PRNGKey(2), jnp.asarray(Y, jnp.float32), m)
+    Yd = jnp.asarray(Y, jnp.float32)
+    ctrl_in, ctrl_out = sample_control_nodes(jax.random.PRNGKey(2), Yd, m)
+    lists = {k: jnp.asarray(v) for k, v in build_edge_lists(Y).items()}
+    civ, cov = control_masks(ctrl_in, ctrl_out, lists, True)
     ctrl_in, ctrl_out = np.asarray(ctrl_in), np.asarray(ctrl_out)
-    assert ctrl_in.shape == (T, n, m)
-    for t in range(T):
-        for i in range(n):
-            for j in ctrl_out[t, i]:
-                if j >= 0:
-                    assert j != i and Y[t, i, j] == 0
-            for j in ctrl_in[t, i]:
-                if j >= 0:
-                    assert j != i and Y[t, j, i] == 0
-            # draws are distinct (without replacement)
-            vals = ctrl_out[t, i][ctrl_out[t, i] >= 0]
-            assert len(set(vals.tolist())) == vals.shape[0]
+    civ, cov = np.asarray(civ), np.asarray(cov)
+    assert ctrl_in.shape == (n, m) and civ.shape == (T, n, m)
+    for i in range(n):
+        for k, c in enumerate(ctrl_out[i]):
+            if c >= 0:
+                assert c != i
+                for t in range(T):
+                    # valid exactly when currently a non-edge
+                    assert cov[t, i, k] == (Y[t, i, c] == 0)
+            else:
+                assert not cov[:, i, k].any()
+        for k, c in enumerate(ctrl_in[i]):
+            if c >= 0:
+                assert c != i
+                for t in range(T):
+                    assert civ[t, i, k] == (Y[t, c, i] == 0)
 
 
 def test_control_estimate_unbiased(rng):
@@ -103,20 +129,22 @@ def test_control_estimate_unbiased(rng):
     X, Y, radii = _directed_net(rng, n=20)
     b_in, b_out = 0.3, 0.7
     lists = build_edge_lists(Y)
+    lists_d = {k: jnp.asarray(v) for k, v in lists.items()}
+    Yd = jnp.asarray(Y, jnp.float32)
 
     dist = pairwise_distances(jnp.asarray(X, jnp.float32))
     want = float(directed_loglik_full(
-        jnp.asarray(Y, jnp.float32), dist, jnp.asarray(radii, jnp.float32),
-        b_in, b_out))
+        Yd, dist, jnp.asarray(radii, jnp.float32), b_in, b_out))
 
     keys = jax.random.split(jax.random.PRNGKey(3), 200)
 
     def one(k):
-        _, ctrl_out = sample_control_nodes(k, jnp.asarray(Y, jnp.float32), 8)
+        _, ctrl_out = sample_control_nodes(k, Yd, 8)
+        _, valid = control_masks(None, ctrl_out, lists_d, False)
         return approx_directed_loglik_full(
             jnp.asarray(X, jnp.float32), jnp.asarray(radii, jnp.float32),
-            jnp.asarray(lists['out_edges']), jnp.asarray(lists['degrees']),
-            ctrl_out, b_in, b_out)
+            lists_d['out_edges'], lists_d['degrees'], ctrl_out, valid,
+            b_in, b_out)
 
     draws = np.asarray(jax.vmap(one)(keys))
     # mean within ~2 std errors of the exact value
@@ -147,13 +175,12 @@ def test_undirected_full_control_limit(rng):
     T, n, _ = Y.shape
     b = 0.8
     lists = build_edge_lists(Y)
-    _, ctrl = sample_control_nodes(
-        jax.random.PRNGKey(0), jnp.asarray(Y, jnp.float32), n - 1,
-        directed=False)
+    ctrl = _all_others(n)
+    valid = control_valid_masks(ctrl, jnp.asarray(lists['out_edges']))
 
     got = float(approx_undirected_loglik_full(
         jnp.asarray(X, jnp.float32), jnp.asarray(lists['out_edges']),
-        jnp.asarray(lists['degrees'][..., 1]), ctrl, b))
+        jnp.asarray(lists['degrees'][..., 1]), ctrl, valid, b))
     dist = pairwise_distances(jnp.asarray(X, jnp.float32))
     want = float(undirected_loglik_full(jnp.asarray(Y, jnp.float32), dist, b))
     np.testing.assert_allclose(got, want, rtol=1e-4)
@@ -167,7 +194,8 @@ def test_undirected_full_control_limit(rng):
         return np.asarray(approx_undirected_partial_loglik(
             jnp.asarray(X, jnp.float32), jnp.asarray(x, jnp.float32),
             jnp.asarray(lists['out_edges'][:, j]),
-            jnp.asarray(lists['degrees'][:, j, 1]), ctrl[:, j], b))
+            jnp.asarray(lists['degrees'][:, j, 1]), ctrl[j], valid[:, j],
+            b))
 
     delta_cc = (cc_ll(X2[:, j]) - cc_ll(X[:, j])).sum()
 
@@ -298,9 +326,9 @@ def test_lsm_fit_case_control_parallel_update(rng):
 
 def test_control_redraw_cadence(rng):
     """Control sets are redrawn exactly on the resampling cadence — the
-    scan runner's scalar iteration hint gates the (T, n, n) Gumbel + top-k
-    redraw behind a real lax.cond (reference CaseControlSampler.resample
-    cadence, case_control_likelihood.py:27-33)."""
+    scan runner's scalar iteration hint gates the redraw behind a real
+    lax.cond (reference CaseControlSampler.resample cadence,
+    case_control_likelihood.py:27-33)."""
     from dynetlsm_tpu.config import DTYPE
     from dynetlsm_tpu.mcmc.states import LSMState
     from dynetlsm_tpu.mcmc.sweeps import SweepConfig, make_lsm_sweep
@@ -335,7 +363,8 @@ def test_control_redraw_cadence(rng):
     runner = make_scan_runner(sweep, lambda s: {'ctrl': s.ctrl_out},
                               chunk=16)
     _, traces = collect_traces(runner, state, 8, chunk=16)
-    ctrl = np.asarray(traces['ctrl'])            # (8, 2, T, n, 5)
+    ctrl = np.asarray(traces['ctrl'])            # (8, 2, n, 5)
+    assert ctrl.shape == (8, 2, n, 5)
 
     # sample s is produced with iteration hint s (pre-increment counter):
     # redraws land exactly on s % 3 == 0, everything else keeps the set

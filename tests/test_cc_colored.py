@@ -3,8 +3,9 @@
 The colored scan replaces the reference's O(n) sequential case-control
 node sweep (sample_latent_positions.py:92-146 over
 case_control_likelihood.py structures) with O(n_colors) vectorised class
-updates, colored PER TIME STEP (site (t, j) interacts only with time-t
-partners).  Exactness is established constructively:
+updates (union coloring across time: each node's whole trajectory in one
+class, so control positions gather as contiguous node trajectories).
+Exactness is established constructively:
 
 * with singleton color classes in index order it is BIT-IDENTICAL to the
   sequential ``xla_exact_scan`` under the same proposal stream;
@@ -19,7 +20,8 @@ import jax.numpy as jnp
 import pytest
 
 from dynetlsm_tpu.ops.case_control import (
-    build_edge_lists, color_conflict_graph, sample_controls_colored)
+    build_edge_lists, color_conflict_graph, sample_controls_colored,
+    control_masks)
 from dynetlsm_tpu.mcmc.latent import cc_colored_scan, xla_exact_scan
 
 
@@ -40,12 +42,14 @@ def _structures(rng, Y, m, directed, seed=1):
     lists_h = build_edge_lists(Y)
     lists = {k: jnp.asarray(v) for k, v in lists_h.items()}
     colors, groups = color_conflict_graph(lists_h, n, seed=seed)
-    ci, co = sample_controls_colored(jax.random.PRNGKey(seed), lists,
-                                     jnp.asarray(colors), m,
+    ci, co = sample_controls_colored(jax.random.PRNGKey(seed),
+                                     jnp.asarray(colors), n, m,
                                      directed=directed)
-    cc = dict(lists, ctrl_out=co)
+    civ, cov = control_masks(ci, co, lists, directed)
+    cc = dict(lists, ctrl_out=co, ctrl_out_valid=cov)
     if directed:
         cc['ctrl_in'] = ci
+        cc['ctrl_in_valid'] = civ
     return cc, colors, groups
 
 
@@ -56,11 +60,10 @@ def _noise(rng, T, n, d=2):
 
 
 def _singleton_groups(T, n):
-    """(n, T, 1) groups: node j is its own class at every t, classes in
-    index order — the sequential scan's visit order."""
-    return jnp.asarray(
-        np.broadcast_to(np.arange(n, dtype=np.int32)[:, None, None],
-                        (n, T, 1)).copy())
+    """(n, 1) groups: node j is its own class, classes in index order —
+    the sequential scan's visit order."""
+    del T
+    return jnp.asarray(np.arange(n, dtype=np.int32)[:, None])
 
 
 def test_coloring_and_controls_valid(rng):
@@ -68,45 +71,50 @@ def test_coloring_and_controls_valid(rng):
     T, n = Y.shape[:2]
     lists_h = build_edge_lists(Y)
     colors, groups = color_conflict_graph(lists_h, n, seed=0)
-    assert colors.shape == (T, n)
-    # proper per-t coloring of the (symmetrized) edge graph
+    assert colors.shape == (n,)
+    # proper coloring of the (symmetrized, across-time) edge graph
     t_, i_, j_ = np.nonzero(Y + np.swapaxes(Y, 1, 2))
-    assert (colors[t_, i_] != colors[t_, j_]).all()
-    # groups is a partition of the nodes at every t
-    for t in range(T):
-        members = np.sort(groups[:, t][groups[:, t] >= 0])
-        np.testing.assert_array_equal(members, np.arange(n))
-    # balanced: padded work is within 3x of the real site count
-    assert groups.size <= 3 * n * T
+    assert (colors[i_] != colors[j_]).all()
+    # groups is a partition of the nodes
+    members = np.sort(groups[groups >= 0])
+    np.testing.assert_array_equal(members, np.arange(n))
+    # balanced: padded work is within 2x of n
+    assert groups.size <= 2 * n + groups.shape[0]
 
     lists = {k: jnp.asarray(v) for k, v in lists_h.items()}
-    ci, co = sample_controls_colored(jax.random.PRNGKey(3), lists,
-                                     jnp.asarray(colors), 6, directed=True)
+    ci, co = sample_controls_colored(jax.random.PRNGKey(3),
+                                     jnp.asarray(colors), n, 6,
+                                     directed=True)
+    civ, cov = control_masks(ci, co, lists, True)
     ci, co = np.asarray(ci), np.asarray(co)
-    for t in range(T):
-        for i in range(n):
-            for c in co[t, i]:
-                if c >= 0:
-                    assert c != i and Y[t, i, c] == 0
-                    assert colors[t, c] != colors[t, i]
-            for c in ci[t, i]:
-                if c >= 0:
-                    assert c != i and Y[t, c, i] == 0
-                    assert colors[t, c] != colors[t, i]
-    # the with-replacement draw keeps most candidates at this density
+    civ, cov = np.asarray(civ), np.asarray(cov)
+    for i in range(n):
+        for k, c in enumerate(co[i]):
+            if c >= 0:
+                assert c != i and colors[c] != colors[i]
+                for t in range(T):
+                    assert cov[t, i, k] == (Y[t, i, c] == 0)
+            else:
+                assert not cov[:, i, k].any()
+        for k, c in enumerate(ci[i]):
+            if c >= 0:
+                assert c != i and colors[c] != colors[i]
+                for t in range(T):
+                    assert civ[t, i, k] == (Y[t, c, i] == 0)
+    # the with-replacement draw keeps most candidates
     assert (co >= 0).mean() > 0.4
 
 
 def test_missing_dyads_are_conflicts(rng):
     """Missing dyads can become edges mid-fit, so they must separate
-    colors at their time step too."""
+    colors too."""
     X, Y, _ = _net(rng, n=16)
     miss = rng.uniform(size=Y.shape) < 0.1
     colors, _ = color_conflict_graph(build_edge_lists(Y), Y.shape[1],
                                      miss_mask=miss, seed=0)
-    t_, i_, j_ = np.nonzero(miss)
+    _, i_, j_ = np.nonzero(miss)
     keep = i_ != j_
-    assert (colors[t_[keep], i_[keep]] != colors[t_[keep], j_[keep]]).all()
+    assert (colors[i_[keep]] != colors[j_[keep]]).all()
 
 
 @pytest.mark.parametrize('directed', [True, False])
@@ -160,22 +168,11 @@ def test_class_update_equals_sequential_within_class(rng, directed):
               tau_sq=2.0, sigma_sq=0.1, is_directed=directed,
               mixture=False)
 
-    # parity-preserving singleton expansion: for each color, first one
-    # class per slot holding only its EVEN-t sites, then one per slot
-    # holding only its ODD-t sites — the full scan's phase order with the
-    # within-phase simultaneity removed.  (A naive per-slot expansion
-    # would interleave parities: a node sitting at different slots at
-    # adjacent times would see stale temporal neighbours.)
-    n_colors, T_, S = groups.shape
-    order = np.full((n_colors * 2 * S, T_, 1), -1, np.int32)
-    k = 0
-    for c in range(n_colors):
-        for parity in (0, 1):
-            for s in range(S):
-                for t in range(T_):
-                    if t % 2 == parity:
-                        order[k, t, 0] = groups[c, t, s]
-                k += 1
+    # singleton expansion: each class's nodes as consecutive singleton
+    # classes in slot order — sequential execution of the simultaneous
+    # within-class update (node trajectories stay whole, so the parity
+    # phases are preserved per node)
+    order = groups.reshape(-1, 1)
     runs = []
     for g in (jnp.asarray(groups), jnp.asarray(order)):
         cc_g = dict(cc, colors=jnp.asarray(colors), color_groups=g)
