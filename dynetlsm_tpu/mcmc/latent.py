@@ -623,11 +623,12 @@ def sample_latent_positions(key, Y, X, intercept, step_size, *,
     n_pad = max(-(-n // 128) * 128, 128)
     if (scheme == 'exact' and cc is None
             and jax.default_backend() == 'tpu'):
-        from ..ops.pallas_scan import _vmem_max_chains
+        from ..ops.pallas_scan import calibrated_max_chains
         use_pallas = (
-            _vmem_max_chains(T, n_pad, is_directed, clamp=False) >= 1
-            or _vmem_max_chains(T, n_pad, is_directed, clamp=False,
-                                stream16=True) >= 1)
+            calibrated_max_chains(T, n_pad, is_directed, False,
+                                  mixture) >= 1
+            or calibrated_max_chains(T, n_pad, is_directed, True,
+                                     mixture) >= 1)
     else:
         use_pallas = False
     if use_pallas:

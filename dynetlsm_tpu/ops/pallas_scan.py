@@ -138,6 +138,22 @@ def _vmem_max_chains(T, n_pad, directed=False, clamp=True, stream16=False):
     return max(1, raw)
 
 
+def calibrated_max_chains(T, n_pad, directed, stream16, mixture):
+    """Chain capacity of one kernel invocation: the analytic
+    :func:`_vmem_max_chains` model seeds a compile-probe search whose
+    result is persisted per shape (ops/vmem_probe.py) — the model's
+    constants track the XLA compiler's scoped-vmem accounting, which can
+    change under a compiler upgrade; the probe cannot.  Off-TPU (and with
+    DYNETLSM_VMEM_PROBE=0) the analytic value is used directly.  Returns
+    the raw capacity (0 = the kernel does not fit at all)."""
+    guess = max(_vmem_max_chains(T, n_pad, directed, clamp=False,
+                                 stream16=stream16), 0)
+    if jax.default_backend() != 'tpu':
+        return guess
+    from .vmem_probe import probed_max_chains
+    return probed_max_chains(T, n_pad, directed, stream16, mixture, guess)
+
+
 def _node_scan_kernel(params_ref, xE_ref, xO_ref, yE_ref, yO_ref, *refs,
                       mixture, directed, n_real, T_total, c_sublane=False,
                       stream16=False):
@@ -1075,16 +1091,39 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
     n_pad = max(-(-n // 128) * 128, 128)
     pad = n_pad - n
 
-    # variant selection: once the int8 phase-split layout cannot fit even
-    # one chain (its block/stage scratch plus the position field exceed
-    # VMEM), switch to the stream16 large-n layout — bf16 16-row blocks,
-    # single-buffered, no stage — which serves exact scans to n ~ 16384
-    # (undirected; ~8192 directed).  _FORCE_STREAM16 lets the parity tests
-    # exercise the variant at small n.
-    stream16 = (not _use_fullT(T, n_pad, directed)
-                and (_FORCE_STREAM16
-                     or _vmem_max_chains(T, n_pad, directed,
-                                         clamp=False) < 1))
+    # variant selection by CALIBRATED capacity: pick the layout that fits
+    # more chains per invocation (tie -> int8, whose adjacency stream
+    # reads a quarter of the HBM bytes).  stream16 — bf16 16-row blocks,
+    # single-buffered, no stage — serves exact scans past the int8
+    # layout's n-cap (~16384 undirected / ~8192 directed).  The stream16
+    # capacity is only probed when the analytic model says it could beat
+    # int8, so small/medium shapes pay one probe, not two.
+    # _FORCE_STREAM16 lets the parity tests exercise the variant at any n.
+    if _use_fullT(T, n_pad, directed):
+        stream16 = False
+        max_c = max(1, calibrated_max_chains(T, n_pad, directed, False,
+                                             mixture))
+    elif _FORCE_STREAM16:
+        stream16 = True
+        max_c = max(1, calibrated_max_chains(T, n_pad, directed, True,
+                                             mixture))
+    else:
+        cap8 = calibrated_max_chains(T, n_pad, directed, False, mixture)
+        stream16 = False
+        max_c = cap8
+        # switch layouts only when the extra capacity would actually be
+        # used (C > cap8): at equal-or-sufficient capacity int8 wins on
+        # HBM traffic (adjacency bytes are 4x smaller)
+        if (cap8 < 1
+                or (C > cap8
+                    and _vmem_max_chains(T, n_pad, directed, clamp=False,
+                                         stream16=True) > cap8)):
+            cap16 = calibrated_max_chains(T, n_pad, directed, True,
+                                          mixture)
+            if cap16 > cap8:
+                stream16 = True
+                max_c = cap16
+        max_c = max(1, max_c)
 
     # (C, T, n, d) -> (d, C, T, n)
     x_l = jnp.pad(jnp.transpose(X, (3, 0, 1, 2)),
@@ -1153,7 +1192,6 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
         rows += [jnp.zeros((C, n_pad), X.dtype)] * 2         # pad to 8 rows
     params = jnp.stack(rows, axis=1).astype(X.dtype)         # (C, 8, n_pad)
 
-    max_c = _vmem_max_chains(T, n_pad, directed, stream16=stream16)
     operands = (x_l, step_p, eps_l, u_l, muz, sigz, params)
     call = functools.partial(_call_kernel, mixture=mixture,
                              directed=directed, n_real=n,
@@ -1303,7 +1341,8 @@ def _custom_vmap_scan(mixture, directed=False):
             for a, b in zip(args, arg_batched))
         T, n, d = args[0].shape[1:]
         n_pad = max(-(-n // 128) * 128, 128)
-        max_c = _vmem_max_chains(T, n_pad, directed)
+        max_c = max(1, calibrated_max_chains(T, n_pad, directed, False,
+                                             mixture))
         if y_batched and (n >= 256 or axis_size <= min(16, max_c)):
             # per-chain networks (missing-data Gibbs): no shared-Y kernel,
             # fall back to mapping the single-chain program

@@ -1,0 +1,145 @@
+"""Probe-and-cache calibration of the Pallas node-scan chain capacity.
+
+``pallas_scan._vmem_max_chains`` models how many chains fit one kernel
+invocation inside VMEM.  The model's constants (buffer counts, spill
+allowance) mirror the XLA compiler's scoped-vmem accounting, which is not
+a contract — a compiler upgrade can silently invalidate them, either
+wasting capacity (underestimate) or failing to compile (overestimate).
+This module makes the analytic model an *initial guess only*: the first
+time a (T, n_pad, directed, stream16, mixture) shape is used on a TPU,
+the kernel is compiled (abstract shapes only — no data, no execution) at
+the guessed chain count, the count is grown while compilation succeeds
+and shrunk while it fails, and the calibrated capacity is persisted to a
+JSON cache next to the XLA compilation cache.  Subsequent processes pay
+nothing.
+
+Compile probes run at trace time of the enclosing sweep jit (an
+independent nested AOT compile), each costing one kernel compilation;
+the search is bounded (<= ~6 probes) and runs once per shape per
+machine.  ``DYNETLSM_VMEM_PROBE=0`` disables probing (pure analytic
+model); ``DYNETLSM_VMEM_CACHE`` overrides the cache path.
+"""
+import json
+import os
+import tempfile
+import threading
+
+_CACHE_LOCK = threading.Lock()
+_CACHE = None
+
+
+def _cache_path():
+    return os.environ.get(
+        'DYNETLSM_VMEM_CACHE',
+        os.path.join(os.path.expanduser('~'), '.cache', 'dynetlsm_tpu',
+                     'vmem_probe.json'))
+
+
+def _load_cache():
+    global _CACHE
+    if _CACHE is None:
+        try:
+            with open(_cache_path()) as fh:
+                _CACHE = json.load(fh)
+        except (OSError, ValueError):
+            _CACHE = {}
+    return _CACHE
+
+
+def _store(key, value):
+    with _CACHE_LOCK:
+        cache = _load_cache()
+        cache[key] = value
+        path = _cache_path()
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+            with os.fdopen(fd, 'w') as fh:
+                json.dump(cache, fh)
+            os.replace(tmp, path)
+        except OSError:
+            pass                     # in-memory cache still serves this run
+
+
+def search_capacity(fits, guess, max_grow=3):
+    """Bounded search for the largest C with ``fits(C)`` true, seeded at
+    ``guess``: grow by ~4/3 while fitting (up to ``max_grow`` steps, so an
+    under-model recovers most of the lost capacity), halve while failing.
+    Returns 0 when not even one chain fits.  Pure logic — unit-tested with
+    fake ``fits`` oracles (graceful degradation under a mis-model)."""
+    c = max(1, int(guess))
+    if fits(c):
+        best = c
+        for _ in range(max_grow):
+            nxt = max(c + 1, (c * 4) // 3)
+            if not fits(nxt):
+                break
+            c = best = nxt
+        return best
+    while c > 1:
+        c = max(1, c // 2)
+        if fits(c):
+            return c
+    return 0
+
+
+def _probe_key(T, n_pad, directed, stream16, mixture):
+    import jax
+    dev = jax.devices()[0]
+    kind = getattr(dev, 'device_kind', 'unknown').replace(' ', '_')
+    return 'v%s/%s/T%d_n%d_dir%d_s16%d_mix%d' % (
+        jax.__version__, kind, T, n_pad, int(directed), int(stream16),
+        int(mixture))
+
+
+def _compile_fits(T, n_pad, directed, stream16, mixture, C):
+    """True when the node-scan kernel compiles at C chains for this shape
+    (abstract AOT compile; nothing executes)."""
+    import jax
+    import jax.numpy as jnp
+    from . import pallas_scan as ps
+
+    d = 2
+    y_dtype = jnp.bfloat16 if stream16 else jnp.int8
+
+    def f(Y_p, x, step, eps, u, muz, sigz, params):
+        return ps._call_kernel(Y_p, (x, step, eps, u, muz, sigz, params),
+                               mixture=mixture, directed=directed,
+                               n_real=n_pad, interpret=False,
+                               stream16=stream16)
+
+    sds = jax.ShapeDtypeStruct
+    args = (sds((T, n_pad, n_pad), y_dtype),
+            sds((d, C, T, n_pad), jnp.float32),
+            sds((C, T, n_pad), jnp.float32),
+            sds((2, d, C, T, n_pad), jnp.float32),
+            sds((C, 2, T, n_pad), jnp.float32),
+            sds((d, C, T, n_pad), jnp.float32),
+            sds((C, T, n_pad), jnp.float32),
+            sds((C, 8, n_pad), jnp.float32))
+    try:
+        jax.jit(f).lower(*args).compile()
+        return True
+    except Exception as exc:                     # noqa: BLE001
+        if os.environ.get('DYNETLSM_VMEM_PROBE_DEBUG'):
+            print('[vmem_probe] C=%d failed: %s'
+                  % (C, str(exc).splitlines()[0] if str(exc) else exc))
+        return False
+
+
+def probed_max_chains(T, n_pad, directed, stream16, mixture, guess):
+    """Calibrated chain capacity for one kernel shape: cached probe result
+    if available, else run the bounded compile search seeded at the
+    analytic ``guess`` and persist it.  Returns the capacity (0 = the
+    kernel does not fit at all)."""
+    if os.environ.get('DYNETLSM_VMEM_PROBE', '1') == '0':
+        return guess
+    key = _probe_key(T, n_pad, directed, stream16, mixture)
+    cache = _load_cache()
+    if key in cache:
+        return int(cache[key])
+    cap = search_capacity(
+        lambda C: _compile_fits(T, n_pad, directed, stream16, mixture, C),
+        guess)
+    _store(key, int(cap))
+    return cap

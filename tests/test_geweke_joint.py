@@ -179,6 +179,7 @@ def test_lsm_joint_distribution(lsm_geweke_samples):
     assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
 
 
+@pytest.mark.slow  # fast tier keeps the LSM joint + power smoke (round-5 budget)
 def test_lsm_mala_joint_distribution():
     """The MALA latent-position kernel is MH-exact by construction, so the
     joint-distribution test must pass — this validates the gradient of
@@ -204,13 +205,28 @@ def test_lsm_mala_joint_distribution():
     assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
 
 
+def _all_others_ctrl(n):
+    """(n, n-1) control table enumerating every other node: with the
+    per-time validity masks this is the FULL-CONTROL limit, where the
+    case-control estimator equals the exact likelihood — the transition
+    kernel is then exact for the true joint and the Geweke comparison is
+    valid.  (Sampled control sets perturb the kernel — the same trade the
+    reference's estimator makes — and since round 5 all chains share one
+    control draw, so the perturbation no longer averages out across
+    chains and would register as a genuine, expected z-shift.)"""
+    base = np.arange(n)[None, :].repeat(n, axis=0)
+    keep = base != np.arange(n)[:, None]
+    return jnp.asarray(base[keep].reshape(n, n - 1), jnp.int32)
+
+
+@pytest.mark.slow  # fast tier keeps the LSM joint + power smoke (round-5 budget)
 def test_lsm_case_control_joint_distribution():
-    """Geweke test with the case-control likelihood active (m = n//2
-    controls, per-sweep cadence, in-device edge-list rebuild because
-    every dyad is missing).  At this scale the subsampling estimator's
-    kernel perturbation is below detection — and the harness exercises
-    the full cc machinery (Gumbel top-k control draws, padded edge
-    lists, cadence gating) inside the strongest correctness check."""
+    """Geweke test with the case-control likelihood active at the
+    full-control limit (every other node a control, masked per-t to the
+    current non-edges), with the in-device edge-list rebuild running
+    every sweep because every dyad is missing.  Exercises the chromatic
+    scan, the padded edge lists, the per-time validity masks, and the
+    missing-dyad rebuild inside the strongest correctness check."""
     from dynetlsm_tpu.models.base import build_case_control
     rng = np.random.RandomState(7)
     mc = _stats_np(*_lsm_prior_draws(rng, N_MC))
@@ -218,16 +234,21 @@ def test_lsm_case_control_joint_distribution():
     cfg = SweepConfig(sample_missing=True, tune=0, n_burn=NEVER_BURN,
                       tau_sq=TAU_SQ, sigma_sq=SIGMA_SQ,
                       intercept_variance_prior=B_VAR, center=False,
-                      n_control=N_NODES // 2, n_resample_control=1)
+                      n_control=N_NODES - 1,
+                      n_resample_control=100 * N_SWEEPS)
     miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
     chains = [_lsm_chain_state(rng) for _ in range(N_CHAINS)]
     Y0_host = np.asarray(chains[0].Y)
-    cc_static, ctrl0 = build_case_control(
+    cc_static, _ = build_case_control(
         cfg, jnp.asarray(Y0_host), Y0_host, rng,
         miss_mask=np.asarray(miss))
     sweep = make_lsm_sweep(None, miss, np.array([B_MEAN], np.float32),
                            cfg, cc_static=cc_static)
-    chains = [c._replace(ctrl_in=ctrl0[0], ctrl_out=ctrl0[1])
+    ctrl_all = _all_others_ctrl(N_NODES)
+    # it starts at 1 so the it % cadence == 0 redraw never fires and the
+    # enumerated control set persists for the whole run
+    chains = [c._replace(ctrl_in=None, ctrl_out=ctrl_all,
+                         it=jnp.ones((), jnp.int32))
               for c in chains]
     states = jax.tree.map(lambda *xs: jnp.stack(xs), *chains)
     sc = _run_chains(sweep, states,
@@ -372,20 +393,23 @@ def directed_geweke_samples():
     return mc, sc
 
 
+@pytest.mark.slow  # fast tier keeps the LSM joint + power smoke (round-5 budget)
 def test_directed_lsm_joint_distribution(directed_geweke_samples):
     mc, sc = directed_geweke_samples
     z = _compare(mc, sc)
     assert np.all(np.abs(z) < 5.0), f'Geweke z-scores {z}'
 
 
+@pytest.mark.slow  # fast tier keeps the LSM joint + power smoke (round-5 budget)
 def test_directed_case_control_joint_distribution():
-    """Directed case-control machinery through the Geweke harness, with
-    the control set covering every non-edge (m = n-1): the estimator is
-    then essentially exact and the joint must match.  (At m = n/2 the
-    fixed-subsample approximation leaves a small detectable perturbation
-    — z ~ 5.5 on the temporal-smoothness moment at this scale, measured
-    at 6000 sweeps — the same trade the reference's estimator makes;
-    this test pins the machinery, not the approximation.)"""
+    """Directed case-control machinery through the Geweke harness at the
+    full-control limit (every other node a control, masked per-t): the
+    estimator is then exact and the joint must match.  (Sampled control
+    subsets perturb the kernel — the same trade the reference's
+    estimator makes — and with round 5's chain-shared draws the
+    perturbation is common across chains, so this test pins the
+    machinery at the exact limit; the approximation itself is
+    characterised by the full-control-limit and unbiasedness tests.)"""
     from dynetlsm_tpu.models.base import build_case_control
     rng = np.random.RandomState(23)
     mc = _directed_stats_np(_directed_prior_draws(rng, N_MC))
@@ -395,17 +419,19 @@ def test_directed_case_control_joint_distribution():
                       sigma_sq=D_SIGMA_SQ,
                       intercept_variance_prior=D_BVAR, tune_radii=False,
                       center=False, n_control=N_NODES - 1,
-                      n_resample_control=1)
+                      n_resample_control=100 * N_SWEEPS)
     miss = jnp.asarray(np.broadcast_to(_OFFD, (T, N_NODES, N_NODES)))
     chains = [_directed_chain_state(rng) for _ in range(N_CHAINS)]
     Y0_host = np.asarray(chains[0].Y)
-    cc_static, ctrl0 = build_case_control(
+    cc_static, _ = build_case_control(
         cfg, jnp.asarray(Y0_host), Y0_host, rng,
         miss_mask=np.asarray(miss))
     sweep = make_lsm_sweep(None, miss,
                            np.array([B_IN, B_OUT], np.float32),
                            cfg, cc_static=cc_static)
-    chains = [c._replace(ctrl_in=ctrl0[0], ctrl_out=ctrl0[1])
+    ctrl_all = _all_others_ctrl(N_NODES)
+    chains = [c._replace(ctrl_in=ctrl_all, ctrl_out=ctrl_all,
+                         it=jnp.ones((), jnp.int32))
               for c in chains]
     states = jax.tree.map(lambda *xs: jnp.stack(xs), *chains)
     sc = _run_chains(sweep, states, _directed_stats_jax)
@@ -518,6 +544,7 @@ def lpcm_geweke_samples():
     return mc, sc
 
 
+@pytest.mark.slow  # fast tier keeps the LSM joint + power smoke (round-5 budget)
 def test_lpcm_joint_distribution(lpcm_geweke_samples):
     mc, sc = lpcm_geweke_samples
     z = _compare(mc, sc)
@@ -658,6 +685,7 @@ def hdp_geweke_samples():
     return mc, sc
 
 
+@pytest.mark.slow  # fast tier keeps the LSM joint + power smoke (round-5 budget)
 def test_hdp_joint_distribution(hdp_geweke_samples):
     mc, sc = hdp_geweke_samples
     z = _compare(mc, sc)

@@ -39,6 +39,7 @@ def test_mala_lsm_matches_exact_posterior():
     assert mala.auc_ > 0.8
 
 
+@pytest.mark.slow  # mala LSM fit + Geweke cover the kernel in-tier
 def test_mala_hdp_fit_runs():
     Y, _ = simple_splitting_dynamic_network(n_nodes=24, n_time_steps=2,
                                             random_state=4)

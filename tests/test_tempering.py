@@ -205,6 +205,7 @@ def test_pt_hdp_joint_distribution():
     assert np.all(np.abs(z) < 4.5), f'cold-slot block z-scores {z}'
 
 
+@pytest.mark.slow  # statistical PT check; swap-preserves stays in-tier
 def test_pt_samples_metastable_joint():
     """In the hard regime, the cold (beta = 1) slots of real ladders must
     (a) match the iid joint within honest block SEs and (b) estimate the
