@@ -202,6 +202,14 @@ def make_scan_runner(sweep_fn, trace_fn, thin=1, multi_chain=True,
     kwargs = {}
     if state_shardings is not None:
         kwargs['out_shardings'] = (state_shardings, None)
+    if jax.default_backend() == 'tpu':
+        from ..ops.vmem_probe import scoped_vmem_options
+        opts = scoped_vmem_options()
+        if opts:
+            # raise the TPU scoped-VMEM limit for the whole sweep program
+            # (DYNETLSM_SCOPED_VMEM_KIB): at 64 MiB the Pallas node scan
+            # fits ~2x the chains per invocation (docs/scaling.md)
+            kwargs['compiler_options'] = opts
     runner = jax.jit(run, donate_argnums=(0,) if donate else (), **kwargs)
     runner.chunk = chunk    # collect_traces validates its chunk against this
     return runner

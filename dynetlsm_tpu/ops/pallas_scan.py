@@ -1123,6 +1123,12 @@ def node_scan_batch(Y, X, intercept, step_size, eps, log_u, *,
             if cap16 > cap8:
                 stream16 = True
                 max_c = cap16
+        if max_c < 1 and not interpret:
+            raise ValueError(
+                'node_scan_batch: no kernel layout fits VMEM at '
+                'T=%d, n_pad=%d, directed=%s (calibrated capacities are '
+                'zero); use mcmc.latent.xla_exact_scan or the '
+                'case-control path at this scale' % (T, n_pad, directed))
         max_c = max(1, max_c)
 
     # (C, T, n, d) -> (d, C, T, n)

@@ -5,6 +5,8 @@ chain (same acceptances, same positions) — the kernel is a scheduling
 change, not an algorithmic one.
 """
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -521,3 +523,40 @@ def test_vmem_probe_search_graceful():
     assert search_capacity(oracle(0), 16) == 0
     # guess of zero still probes one chain
     assert search_capacity(oracle(5), 0) >= 1
+
+
+@pytest.mark.slow
+def test_large_n_exact_scan_executes_on_tpu():
+    """The n=8,192 undirected exact scan EXECUTES on a real chip (round-4
+    verdict item 5: the large-n evidence must be measured, not
+    'compiles').  Skipped off-TPU — run with DYNETLSM_TEST_PLATFORM=axon
+    (the conftest otherwise pins the suite to the virtual CPU mesh)."""
+    if jax.default_backend() != 'tpu':
+        pytest.skip('needs a real TPU chip')
+    from dynetlsm_tpu.ops.pallas_scan import node_scan_batch
+
+    rng = np.random.RandomState(0)
+    T, n, d = 10, 8192, 2
+    slices = []
+    for _ in range(T):
+        A = (rng.rand(n, n) < 0.01).astype(np.float32)
+        A = np.triu(A, 1)
+        slices.append(A + A.T)
+    Y = np.stack(slices)
+    X = rng.randn(T, n, d).astype(np.float32)
+    step = np.full((1, T, n), 0.1, np.float32)
+    eps = rng.randn(1, 2, n, T, d).astype(np.float32)
+    log_u = np.log(rng.rand(1, 2, n, T)).astype(np.float32)
+
+    @jax.jit
+    def one_sweep(Y, X, step, eps, log_u):
+        return node_scan_batch(Y, X[None], jnp.ones((1,)), step, eps,
+                               log_u, tau_sq=2.0, sigma_sq=0.1,
+                               mixture=False)
+
+    Xn, acc = one_sweep(jnp.asarray(Y), jnp.asarray(X), jnp.asarray(step),
+                        jnp.asarray(eps), jnp.asarray(log_u))
+    Xn, acc = np.asarray(Xn), np.asarray(acc)
+    assert np.isfinite(Xn).all()
+    rate = acc.mean()
+    assert 0.01 < rate < 0.99, rate   # real accept/reject decisions ran
