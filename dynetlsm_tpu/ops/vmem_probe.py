@@ -31,9 +31,9 @@ _CACHE = None
 def scoped_vmem_options():
     """Optional XLA compiler options raising the TPU scoped-VMEM limit
     (DYNETLSM_SCOPED_VMEM_KIB, e.g. 65536 for 64 MiB): measured on v5e,
-    64 MiB lifts the node-scan chain capacity at T=10, n=512 from 42 to
-    84+ chains per invocation.  Returns None when unset (compiler
-    default, 16 MiB)."""
+    64 MiB roughly doubles the node-scan chain capacity (n=512: 84
+    chains compile vs 42; directed n=8192 becomes servable at all).
+    Returns None when unset (compiler default, 16 MiB)."""
     kib = os.environ.get('DYNETLSM_SCOPED_VMEM_KIB')
     if not kib:
         return None
@@ -73,17 +73,18 @@ def _store(key, value):
             pass                     # in-memory cache still serves this run
 
 
-def search_capacity(fits, guess, max_grow=3):
+def search_capacity(fits, guess, max_grow=12):
     """Bounded search for the largest C with ``fits(C)`` true, seeded at
-    ``guess``: grow by ~4/3 while fitting (up to ``max_grow`` steps, so an
-    under-model recovers most of the lost capacity), halve while failing.
-    Returns 0 when not even one chain fits.  Pure logic — unit-tested with
-    fake ``fits`` oracles (graceful degradation under a mis-model)."""
+    ``guess``: grow by ~3/2 while fitting (up to ``max_grow`` steps, so
+    even a badly under-seeded search recovers — 12 steps reach ~90x the
+    seed), halve while failing.  Returns 0 when not even one chain fits.
+    Pure logic — unit-tested with fake ``fits`` oracles (graceful
+    degradation under a mis-model)."""
     c = max(1, int(guess))
     if fits(c):
         best = c
         for _ in range(max_grow):
-            nxt = max(c + 1, (c * 4) // 3)
+            nxt = max(c + 1, (c * 3) // 2)
             if not fits(nxt):
                 break
             c = best = nxt

@@ -76,3 +76,18 @@ def test_parallel_tempering_demo():
     assert np.isfinite(b_plain).all() and np.isfinite(b_pt).all()
     assert b_pt.std() < b_plain.std()
     assert ladder.shape == (8,) and np.allclose(ladder[::4], 1.0)
+
+
+def test_competitor_sbm_smoke():
+    """Native spectral-SBM competitor baseline (the reference's dynsbm
+    comparison scripts are R-only): one replicate end to end with both
+    variants, metrics well-formed."""
+    sys.path.insert(0, os.path.join(EXAMPLES, os.pardir))
+    from examples.competitor_sbm import run_study
+
+    for variant in ('static', 'dynamic'):
+        rows, med = run_study(n_reps=1, sim_type='easy', variant=variant,
+                              n_time_steps=3, n_nodes=60, true_k=6)
+        assert -0.5 <= med['rand_index'] <= 1.0
+        assert med['vi'] >= 0.0
+        assert 2 <= med['num_clusters'] <= 8
