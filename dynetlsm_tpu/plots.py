@@ -100,12 +100,17 @@ def normal_contour(mean, cov, n_std=2, ax=None, **kwargs):
         cov = float(cov) * np.eye(2)
     evals, evecs = np.linalg.eigh(cov)
     angle = np.degrees(np.arctan2(evecs[1, -1], evecs[0, -1]))
+    ellipses = []
     for k in np.atleast_1d(n_std):
         width, height = 2 * k * np.sqrt(np.maximum(evals, 0.0))
-        ax.add_patch(Ellipse(xy=mean, width=width[-1] if width.ndim else width,
-                             height=height[0] if height.ndim else height,
-                             angle=angle, **kwargs))
-    return ax
+        ellipse = Ellipse(xy=mean, width=width[-1] if width.ndim else width,
+                          height=height[0] if height.ndim else height,
+                          angle=angle, **kwargs)
+        ax.add_patch(ellipse)
+        ellipses.append(ellipse)
+    # reference return contract (plots.py:100-111): the patch for a scalar
+    # n_std, the list for a sequence
+    return ellipses[0] if np.isscalar(n_std) else ellipses
 
 
 def draw_edge(x1, x2, ax, is_directed=False, **kwargs):
@@ -271,7 +276,9 @@ def plot_adjacency_matrix(Y, z, figsize=(8, 6)):
 
 def plot_posterior_cooccurrence(model, t=0, figsize=(8, 6), cmap='viridis'):
     """Posterior co-clustering probability heatmap, hierarchically ordered
-    (reference plots.py:950-992)."""
+    (reference plots.py:950-992; the reference returns a seaborn
+    ClusterGrid — here the same average-linkage leaf ordering is applied
+    directly and a plain ``(fig, ax)`` is returned)."""
     co = model.cooccurrence_probas_[t]
     linkage = hc.linkage(squareform(1.0 - co, checks=False),
                          method='average', optimal_ordering=True)
@@ -384,7 +391,7 @@ def plot_latent_space_lsm(model, t=0, figsize=(8, 8), node_size=60,
                      np.asarray(node_names)[mask], k=repel_strength)
     ax.set_title('t = %d' % t)
     ax.set_aspect('equal', adjustable='datalim')
-    return ax
+    return ax.figure, ax
 
 
 def plot_latent_space_lpcm(model, t=0, figsize=(8, 8), node_size=60,
@@ -429,7 +436,7 @@ def plot_latent_space_lpcm(model, t=0, figsize=(8, 8), node_size=60,
                      np.asarray(node_names)[mask], k=repel_strength)
     ax.set_title('t = %d' % t)
     ax.set_aspect('equal', adjustable='datalim')
-    return ax
+    return ax.figure, ax
 
 
 # ---------------------------------------------------------------------------
@@ -512,7 +519,8 @@ def alluvial_plot(z, figsize=(10, 6), margin=0.02, rec_width=0.02, alpha=0.5,
     for side in ('left', 'right', 'top'):
         ax.spines[side].set_visible(False)
     ax.set_xlim(-0.02, 1.0 + rec_width + 0.02)
-    return ax
+    # reference return contract (plots.py:948): (fig, ax)
+    return ax.figure, ax
 
 
 # ---------------------------------------------------------------------------

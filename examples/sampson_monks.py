@@ -24,13 +24,13 @@ print('in-sample AUC:', model.auc_)
 print('communities found:', sorted(set(model.z_.ravel().tolist())))
 print('Geweke z (logp):', model.logp_geweke_)
 
-ax = plot_latent_space(model, t=1, node_names=names)
-ax.figure.savefig('sampson_latent_space.png', dpi=150)
-plt.close(ax.figure)
+fig, ax = plot_latent_space(model, t=1, node_names=names)
+fig.savefig('sampson_latent_space.png', dpi=150)
+plt.close(fig)
 
-ax = alluvial_plot(model.z_)
-ax.figure.savefig('sampson_alluvial.png', dpi=150)
-plt.close(ax.figure)
+fig, ax = alluvial_plot(model.z_)
+fig.savefig('sampson_alluvial.png', dpi=150)
+plt.close(fig)
 
 fig, _ = plot_posterior_counts(model, t=0)
 fig.savefig('sampson_counts.png', dpi=150)

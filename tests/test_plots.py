@@ -47,11 +47,11 @@ def test_kde_curve_integrates_to_one():
 
 def test_plot_latent_space(fitted_models):
     _, _, lsm, lpcm = fitted_models
-    ax = plots.plot_latent_space(lsm, t=0)
-    plt.close(ax.figure)
-    ax = plots.plot_latent_space(lpcm, t=1, node_names=[
+    fig, ax = plots.plot_latent_space(lsm, t=0)
+    plt.close(fig)
+    fig, ax = plots.plot_latent_space(lpcm, t=1, node_names=[
         'n%d' % i for i in range(lpcm.X_.shape[1])])
-    plt.close(ax.figure)
+    plt.close(fig)
 
 
 def test_matrix_plots(fitted_models):
@@ -68,11 +68,11 @@ def test_transition_and_alluvial(fitted_models):
     _, z, _, lpcm = fitted_models
     fig, _ = plots.plot_transition_probabilities(lpcm)
     plt.close(fig)
-    ax = plots.alluvial_plot(z)
-    plt.close(ax.figure)
-    ax = plots.alluvial_plot(lpcm.zs_[-50:][::25].reshape(2, -1)[
+    fig, ax = plots.alluvial_plot(z)
+    plt.close(fig)
+    fig, ax = plots.alluvial_plot(lpcm.zs_[-50:][::25].reshape(2, -1)[
         :, :lpcm.z_.shape[1]])
-    plt.close(ax.figure)
+    plt.close(fig)
 
 
 def test_posterior_counts_hdp():
